@@ -1,0 +1,24 @@
+"""rex_spark — a PySpark-native knowledge-graph construction engine.
+
+A from-scratch re-expression of the capabilities of ``malcolmgreaves/rex``
+(relation extraction via distant supervision) as an idiomatic Spark
+DataFrame pipeline:
+
+    documents (repo, path, commit, lang, content)
+      -> lexing / sentence annotation        (mapInPandas, narrow)
+      -> NER-style chunking                  (in-UDF array op, narrow)
+      -> candidate-pair generation           (mapInPandas, narrow)
+      -> n-gram / k-skip-n-gram featurization (mapInPandas, narrow)
+      -> distant labeling                    (broadcast join, no shuffle)
+      -> linear-model scoring                (broadcast weight matrix,
+                                              Arrow-batched matmul UDF)
+      -> entity linking / canonicalization   (salted blocking join +
+                                              connected components)
+      -> partitioned triple materialization  (+ lineage, resumable)
+
+Everything scale-critical is declared through the DataFrame API so
+Catalyst/AQE handle pushdown, pruning, broadcast selection and skew
+splitting; Python only runs inside Arrow-vectorized UDFs.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,7 @@
+"""Pure-Python semantic kernels + Spark Column helpers.
+
+These functions define the *exact* feature/candidate semantics of the
+engine. They are deliberately dependency-free and deterministic so the
+same code runs (a) in unit tests against the reference's golden
+constants and (b) inside Arrow-batched pandas UDFs on executors.
+"""

@@ -1,0 +1,122 @@
+"""Candidate-pair enumeration kernels.
+
+rex ``relation_extract/CandGen.scala``:
+  - SentenceCandGen (``:12-32``): all ORDERED pairs (q, a), q != a, of
+    filter-passing token indices within one sentence (5 valid tokens =>
+    20 candidates; golden CandGenTest.scala:72-93).
+  - CorefCandGen (``:37-116``): cross-sentence pairs via coref chains.
+
+These are pure kernels; the distributed operator wraps them in a
+mapInPandas stage (narrow — no shuffle) in operators/candidates.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+
+def sentence_pairs(keep: Sequence[bool]) -> list[tuple[int, int]]:
+    """Ordered (query_idx, answer_idx) pairs of kept indices, q != a,
+    in reference enumeration order (query outer, answer inner).
+    rex CandGen.scala:14-31."""
+    kept = [i for i, k in enumerate(keep) if k]
+    return [(q, a) for q in kept for a in kept if q != a]
+
+
+def sentence_pairs_windowed(keep: Sequence[bool], max_gap: int) -> list[tuple[int, int]]:
+    """Scale variant of ``sentence_pairs``: only pairs within ``max_gap``
+    token positions. Bounds the per-sentence candidate count from O(n^2)
+    to O(n * max_gap) — required for long documents at the 10^12-file
+    scale; identical to ``sentence_pairs`` when max_gap >= sentence length.
+    """
+    kept = [i for i, k in enumerate(keep) if k]
+    out = []
+    for qi, q in enumerate(kept):
+        for a in kept:
+            if q != a and abs(q - a) <= max_gap:
+                out.append((q, a))
+    return out
+
+
+def coref_candidates(
+    sentences_tokens: Sequence[Sequence[str]],
+    coref_chains: Sequence[Sequence[tuple[int, int, int]]],
+    mention_keep: Sequence[Sequence[bool]],
+    cand_keep: Sequence[Sequence[bool]],
+) -> list[dict]:
+    """Cross-sentence candidates from coref chains.
+
+    ``coref_chains``: per chain, mentions as (sentence_num, from, until).
+    ``mention_keep`` / ``cand_keep``: per sentence, keep flags under the
+    mention filter and the candidate filter respectively.
+
+    Returns dicts with keys: kind ('coref_query'|'coref_answer'),
+    mention_sent, mention_idx (the coref'd word in its own sentence),
+    shared_sent, coref_idx (the coref'd word inside the shared sentence),
+    other_idx (the paired word inside the shared sentence), query_w,
+    answer_w, inner (token list strictly between, endpoints excluded).
+
+    rex CandGen.scala:41-77 + 82-116: chains need >= 2 single-token
+    mentions passing the mention filter; only cross-sentence mention
+    pairs; for each pair, both directions; within the shared sentence,
+    every cand-filter-passing token other than the coref word pairs with
+    it, emitted in BOTH roles.
+    """
+    out: list[dict] = []
+    for chain in coref_chains:
+        if len(chain) < 2:
+            continue
+        valid = [
+            (s, f)
+            for (s, f, until) in chain
+            if (until - f) == 1 and mention_keep[s][f]
+        ]
+        if len(valid) < 2:
+            continue
+        for i in range(len(valid)):
+            for j in range(i + 1, len(valid)):
+                m1, m2 = valid[i], valid[j]
+                if m1[0] == m2[0]:
+                    continue
+                # f(m2.sent, m1, m2.from) ++ f(m1.sent, m2, m1.from)
+                for shared_sent, (m_sent, m_from), coref_idx in (
+                    (m2[0], m1, m2[1]),
+                    (m1[0], m2, m1[1]),
+                ):
+                    toks = sentences_tokens[shared_sent]
+                    keep = cand_keep[shared_sent]
+                    for idx in range(len(toks)):
+                        if idx == coref_idx or not keep[idx]:
+                            continue
+                        lo, hi = (coref_idx, idx) if coref_idx < idx else (idx, coref_idx)
+                        inner = list(toks[lo + 1 : hi])
+                        mention_word = sentences_tokens[m_sent][m_from]
+                        # CandidateCorefQuery: mention is the query
+                        out.append(
+                            dict(
+                                kind="coref_query",
+                                mention_sent=m_sent,
+                                mention_idx=m_from,
+                                shared_sent=shared_sent,
+                                coref_idx=coref_idx,
+                                other_idx=idx,
+                                query_w=mention_word,
+                                answer_w=toks[idx],
+                                inner=inner,
+                            )
+                        )
+                        # CandidateCorefAnswer: mention is the answer
+                        out.append(
+                            dict(
+                                kind="coref_answer",
+                                mention_sent=m_sent,
+                                mention_idx=m_from,
+                                shared_sent=shared_sent,
+                                coref_idx=coref_idx,
+                                other_idx=idx,
+                                query_w=toks[idx],
+                                answer_w=mention_word,
+                                inner=inner,
+                            )
+                        )
+    return out

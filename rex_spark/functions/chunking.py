@@ -1,0 +1,89 @@
+"""NER chunking: merge adjacent same-entity tokens into one token.
+
+rex ``text/SentenceChunker.scala:17-109`` + ``text/DocumentChunker.scala``.
+
+Semantics:
+  - a run of adjacent tokens whose entity tags are equal and != the
+    non-entity tag ("O") becomes one token, joined with " ";
+  - the chunk's POS tag / entity tag is the FIRST member's tag
+    (SentenceChunker.scala:91-95);
+  - sentences with <= 1 entity annotation pass through unchanged.
+
+Deviation (documented): coref mention index remapping maps an old index
+to its chunk's ORDINAL in the new token list. The reference maps to the
+chunk head's OLD index (DocumentChunker.scala:56-63), which is out of
+range in the new sentence whenever any earlier chunk merged tokens — a
+latent reference bug we do not replicate (SURVEY.md §7 "reference bugs").
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+NON_ENTITY = "O"
+
+
+def chunk_groups(entities: Sequence[str], non_entity: str = NON_ENTITY) -> list[list[int]]:
+    """Partition token indices into chunk groups (every index appears once).
+
+    rex SentenceChunker.scala:32-66.
+    """
+    n = len(entities)
+    if n == 0:
+        return []
+    groups: list[list[int]] = []
+    working = [0]
+    for i in range(1, n):
+        continue_chunk = entities[i] != non_entity and entities[i] == entities[i - 1]
+        if continue_chunk:
+            working.append(i)
+        else:
+            groups.append(working)
+            working = [i]
+    groups.append(working)
+    return groups
+
+
+def chunk_sentence(
+    tokens: Sequence[str],
+    tags: Sequence[str] | None,
+    entities: Sequence[str] | None,
+    non_entity: str = NON_ENTITY,
+) -> tuple[list[str], list[str] | None, list[str] | None, list[list[int]]]:
+    """Chunk one sentence; returns (tokens', tags', entities', groups).
+
+    rex SentenceChunker.scala:24-79. Sentences without entity annotations
+    (or with <= 1 token) are returned unchanged with empty groups.
+    """
+    if entities is None or len(entities) <= 1:
+        return (
+            list(tokens),
+            list(tags) if tags is not None else None,
+            list(entities) if entities is not None else None,
+            [],
+        )
+    from .filters import detokenize
+
+    groups = chunk_groups(entities, non_entity)
+    # Join chunk members with detokenization (no space before punctuation):
+    # the reference joins with " " (SentenceChunker.scala:85-88) but its own
+    # golden fixture expects "January 10th, 2013" (SharedTestingData.scala:87)
+    # — its test passes only via an inverted assertion
+    # (NPChunkingTest.scala:40-43). We follow the fixture's intent.
+    new_tokens = [detokenize([tokens[i] for i in g]) for g in groups]
+    new_tags = [tags[g[0]] for g in groups] if tags is not None else None
+    new_entities = [entities[g[0]] for g in groups]
+    return new_tokens, new_tags, new_entities, groups
+
+
+def old_to_new_indices(groups: list[list[int]]) -> dict[int, int]:
+    """Map old token index -> new (chunk-ordinal) index.
+
+    Corrected semantics vs rex DocumentChunker.scala:56-63 (see module
+    docstring). Identity when groups is empty (unchunked sentence).
+    """
+    mapping: dict[int, int] = {}
+    for new_idx, group in enumerate(groups):
+        for old in group:
+            mapping[old] = new_idx
+    return mapping

@@ -1,0 +1,184 @@
+"""Candidate featurization: adjacency + inside (skip-gram) features.
+
+Exact-semantics re-derivation of rex ``CandidateFeatuerizer.scala`` —
+the P/R-critical feature space. The hard edges replicated here:
+
+  - filter-then-reindex (``:39-75``): dropped tokens shift the
+    query/answer indices left; the reference compares each dropped
+    token's ORIGINAL index against the CURRENT (already-decremented)
+    q/a value — replicated verbatim so feature strings are identical.
+  - full-window-only adjacency guards (``:93-101``): a left window is
+    emitted only when ``l - n >= 0``; a right window only when
+    ``r + n < len(words)``.
+  - n-gram sizes loop 0..width inclusive where size 0 contributes
+    nothing (``:167-186``).
+  - inner slice excludes BOTH endpoints: ``[min(q,a)+1, max(q,a))``
+    (rex Candidate.scala:33-43).
+  - bag-of-features counting (``:238-254``).
+
+Golden fixture: rex TextFeatuerizerTest.scala:190-221 (ported to
+tests/test_featurize.py).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from collections.abc import Sequence
+
+from .ngrams import k_skip_ngrams
+
+
+def filter_and_reindex(
+    pairs: Sequence[tuple[str, bool]], qi: int, ai: int
+) -> tuple[list[str], int, int]:
+    """Drop filtered tokens, shifting q/a indices. rex CandidateFeatuerizer.scala:39-75.
+
+    Faithful to the reference's update rule (original removing index
+    compared against the current, already-shifted index).
+    """
+    filtered: list[str] = []
+    q, a = qi, ai
+    for idx, (word, keep) in enumerate(pairs):
+        if keep:
+            filtered.append(word)
+        else:
+            if idx < q:
+                q -= 1
+            if idx < a:
+                a -= 1
+    return filtered, q, a
+
+
+def adjacency_windows_one_sentence(
+    pairs: Sequence[tuple[str, bool]], qi: int, ai: int, width: int
+) -> list[str]:
+    """All full-width adjacency window features for one (q, a) pair in one
+    sentence. rex CandidateFeatuerizer.scala:77-104 + 167-186."""
+    words, q, a = filter_and_reindex(pairs, qi, ai)
+    l, r = (q, a) if q < a else (a, q)
+    size = len(words)
+    feats: list[str] = []
+    for n in range(width + 1):
+        left = words[l - n : l] if l - n >= 0 else []
+        right = words[r + 1 : r + 1 + n] if r + n < size else []
+        if left:
+            feats.append(",".join(left))
+        if right:
+            feats.append(",".join(right))
+    return feats
+
+
+def inside_feature_strings(
+    tokens: Sequence[str],
+    keep: Sequence[bool],
+    viewed: Sequence[str],
+    start_inner: int,
+    end_inner: int,
+    ngram_width: int,
+    skip_size: int,
+) -> list[str]:
+    """Skip-gram features of the filtered viewed tokens strictly between the
+    pair. rex CandidateFeatuerizer.scala:194-230."""
+    inner = [viewed[i] for i in range(start_inner, end_inner) if keep[i]]
+    if not inner:
+        return []
+    return k_skip_ngrams(inner, ngram_width, skip_size)
+
+
+def featurize_sentence_candidate(
+    tokens: Sequence[str],
+    qi: int,
+    ai: int,
+    *,
+    adjacent_width: int | None = 2,
+    inside_ngram: int | None = 2,
+    inside_skip: int = 4,
+    tags: Sequence[str] | None = None,
+) -> dict[str, float]:
+    """Feature bag for a same-sentence candidate under the app-default
+    config: adjacent n-grams over lowercased punct-filtered tokens +
+    inside k-skip-n-grams (rex RelationExtractionLearningMain.scala:233-246;
+    CandidateFeatuerizer.scala:36-37, 238-254).
+
+    Pass ``adjacent_width=None`` / ``inside_ngram=None`` to disable a side.
+    """
+    from .filters import no_known_punct, view_lowercase
+
+    keep = no_known_punct(tokens, tags)
+    viewed = view_lowercase(tokens)
+    feats: list[str] = []
+    if adjacent_width is not None:
+        pairs = list(zip(viewed, keep))
+        feats.extend(adjacency_windows_one_sentence(pairs, qi, ai, adjacent_width))
+    if inside_ngram is not None:
+        start_inner = min(qi, ai) + 1
+        end_inner = max(qi, ai)
+        feats.extend(
+            inside_feature_strings(
+                tokens, keep, viewed, start_inner, end_inner, inside_ngram, inside_skip
+            )
+        )
+    return dict(Counter(feats))
+
+
+def featurize_coref_candidate(
+    shared_tokens: Sequence[str],
+    shared_q_idx: int,
+    shared_a_idx: int,
+    mention_tokens: Sequence[str],
+    mention_idx: int,
+    *,
+    adjacent_width: int | None = 2,
+    inside_ngram: int | None = 2,
+    inside_skip: int = 4,
+    shared_tags: Sequence[str] | None = None,
+    mention_tags: Sequence[str] | None = None,
+) -> dict[str, float]:
+    """Feature bag for a cross-sentence (coref) candidate: shared-sentence
+    windows around the in-sentence pair PLUS windows around the coref'd
+    mention word in its own sentence (both roles use index==index there);
+    inside features come from the shared sentence only.
+    rex CandidateFeatuerizer.scala:128-165, 194-230.
+    """
+    from .filters import no_known_punct, view_lowercase
+
+    feats: list[str] = []
+    if adjacent_width is not None:
+        sk = no_known_punct(shared_tokens, shared_tags)
+        sv = view_lowercase(shared_tokens)
+        spairs = list(zip(sv, sk))
+        mk = no_known_punct(mention_tokens, mention_tags)
+        mv = view_lowercase(mention_tokens)
+        mpairs = list(zip(mv, mk))
+        # reference interleaves per-size: shared(n) ++ mention(n) for each n
+        swords, sq, sa = filter_and_reindex(spairs, shared_q_idx, shared_a_idx)
+        sl, sr = (sq, sa) if sq < sa else (sa, sq)
+        mwords, mq, ma = filter_and_reindex(mpairs, mention_idx, mention_idx)
+        for n in range(adjacent_width + 1):
+            for words, l, r in ((swords, sl, sr), (mwords, mq, ma)):
+                size = len(words)
+                left = words[l - n : l] if l - n >= 0 else []
+                right = words[r + 1 : r + 1 + n] if r + n < size else []
+                if left:
+                    feats.append(",".join(left))
+                if right:
+                    feats.append(",".join(right))
+    if inside_ngram is not None:
+        keep = no_known_punct(shared_tokens, shared_tags)
+        viewed = view_lowercase(shared_tokens)
+        start_inner = min(shared_q_idx, shared_a_idx) + 1
+        end_inner = max(shared_q_idx, shared_a_idx)
+        feats.extend(
+            inside_feature_strings(
+                shared_tokens, keep, viewed, start_inner, end_inner, inside_ngram, inside_skip
+            )
+        )
+    return dict(Counter(feats))
+
+
+def aggregate_feature_bags(bags: Sequence[dict[str, float]]) -> dict[str, float]:
+    """Sum magnitudes per feature key. rex Pipeline.scala:31-46."""
+    total: Counter[str] = Counter()
+    for bag in bags:
+        total.update(bag)
+    return dict(total)

@@ -1,0 +1,79 @@
+"""Word filters, views and detokenization.
+
+Mirrors rex ``text/WordFilter.scala``, ``text/WordView.scala``,
+``text/SentenceViewFilter.scala`` and ``text/package.scala:5-52``.
+Pure functions over token lists — composed inside pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+# rex text/package.scala:19-52 — the 32-symbol punctuation vocabulary.
+KNOWN_PUNCT = frozenset(
+    [
+        "~", "`", "!", "@", "#", "$", "%", "^", "&", "*", "(", ")", "-",
+        "_", "+", "=", "{", "[", "]", "}", "|", "\\", ":", ";", '"', "'",
+        ".", ",", "<", ">", "?", "/",
+    ]
+)
+
+
+def permit_all(tokens: Sequence[str], tags: Sequence[str] | None = None) -> list[bool]:
+    """rex WordFilter.permitAll (WordFilter.scala:14-15)."""
+    return [True] * len(tokens)
+
+
+def no_known_punct(tokens: Sequence[str], tags: Sequence[str] | None = None) -> list[bool]:
+    """rex WordFilter.noKnownPunct (WordFilter.scala:30-32)."""
+    return [t not in KNOWN_PUNCT for t in tokens]
+
+
+def no_tagged_punct(tokens: Sequence[str], tags: Sequence[str] | None = None) -> list[bool]:
+    """rex WordFilter.noTaggedPunct (WordFilter.scala:17-28): keep token i
+    iff its POS tag differs from the token text; permit all when untagged."""
+    if tags is None:
+        return [True] * len(tokens)
+    return [tag != tok for tok, tag in zip(tokens, tags)]
+
+
+def view_lowercase(tokens: Sequence[str]) -> list[str]:
+    """rex WordView.lowercase (WordView.scala:11-12)."""
+    return [t.lower() for t in tokens]
+
+
+def view_identity(tokens: Sequence[str]) -> list[str]:
+    """rex WordView.identity (WordView.scala:14-15)."""
+    return list(tokens)
+
+
+def sentence_view_filter(
+    tokens: Sequence[str],
+    tags: Sequence[str] | None = None,
+    view: str = "lowercase",
+    word_filter: str = "no_known_punct",
+) -> list[tuple[str, bool]]:
+    """rex SentenceViewFilter (SentenceViewFilter.scala:17-34): zip of the
+    viewed word and its keep flag, per token."""
+    viewed = view_lowercase(tokens) if view == "lowercase" else view_identity(tokens)
+    if word_filter == "no_known_punct":
+        keep = no_known_punct(tokens, tags)
+    elif word_filter == "no_tagged_punct":
+        keep = no_tagged_punct(tokens, tags)
+    else:
+        keep = permit_all(tokens, tags)
+    return list(zip(viewed, keep))
+
+
+def detokenize(tokens: Sequence[str]) -> str:
+    """Join tokens, no space before known punctuation.
+
+    rex text/package.scala:8-17 (``textOf``).
+    """
+    acc: list[str] = []
+    for tok in tokens:
+        if tok in KNOWN_PUNCT:
+            acc.append(tok)
+        else:
+            acc.append(" " + tok)
+    return "".join(acc).strip()

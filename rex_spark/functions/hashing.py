@@ -1,0 +1,97 @@
+"""Stable feature hashing to a bounded sparse space.
+
+rex ``RelationLearner.scala:34-63`` caps the feature space with a
+``HashedExampleIndexer`` at a prime >= the requested size. We keep the
+prime-capping behavior but use a hash that is stable across processes,
+runs and cluster nodes (Python's builtin ``hash`` is salted — never use
+it in a distributed engine): murmur3-32, implemented in pure Python to
+match Spark's JVM-side ``F.hash`` (Murmur3 x86 32-bit, seed 42) bit for
+bit, so features hashed inside a pandas UDF agree with features hashed
+by a Column expression.
+"""
+
+from __future__ import annotations
+
+DEFAULT_FEATURE_SPACE = 262_147  # prime >= 2**18
+
+
+def next_prime(n: int) -> int:
+    """Smallest prime >= n (rex HashedExampleIndexer primes the cap)."""
+
+    def is_prime(x: int) -> bool:
+        if x < 2:
+            return False
+        if x % 2 == 0:
+            return x == 2
+        f = 3
+        while f * f <= x:
+            if x % f == 0:
+                return False
+            f += 2
+        return True
+
+    while not is_prime(n):
+        n += 1
+    return n
+
+
+_MASK = 0xFFFFFFFF
+
+
+def murmur3_32(data: bytes, seed: int = 42) -> int:
+    """Murmur3 x86 32-bit, matching Spark's ``F.hash`` for string input
+    (Spark hashes UTF-8 bytes with seed 42). Returns SIGNED int32 like Spark.
+    """
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & _MASK
+    n = len(data)
+    rounded = n & ~3
+    for i in range(0, rounded, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * c2) & _MASK
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK
+        h = (h * 5 + 0xE6546B64) & _MASK
+    # Spark (like Guava) processes trailing bytes one at a time as signed
+    # ints via mixK1/mixH1 — NOT the canonical tail. Replicate that.
+    for i in range(rounded, n):
+        b = data[i]
+        if b >= 128:
+            b -= 256  # signed byte, sign-extended
+        k = b & _MASK
+        k = (k * c1) & _MASK
+        k = ((k << 15) | (k >> 17)) & _MASK
+        k = (k * c2) & _MASK
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & _MASK
+        h = (h * 5 + 0xE6546B64) & _MASK
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & _MASK
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & _MASK
+    h ^= h >> 16
+    if h >= 0x80000000:
+        h -= 1 << 32
+    return h
+
+
+def hash_feature(feature: str, space: int = DEFAULT_FEATURE_SPACE) -> int:
+    """Deterministic bucket in [0, space) — ``pmod(murmur3(s), space)``,
+    the same value Spark computes for ``pmod(hash(col), space)``."""
+    return murmur3_32(feature.encode("utf-8")) % space
+
+
+def hash_feature_bag(
+    bag: dict[str, float], space: int = DEFAULT_FEATURE_SPACE
+) -> tuple[list[int], list[float]]:
+    """Hash a {feature: magnitude} bag into sorted sparse (indices, values),
+    summing collisions — the engine's sparse-vector representation."""
+    acc: dict[int, float] = {}
+    for feat, mag in bag.items():
+        idx = hash_feature(feat, space)
+        acc[idx] = acc.get(idx, 0.0) + mag
+    indices = sorted(acc)
+    return indices, [acc[i] for i in indices]

@@ -1,0 +1,65 @@
+"""Adjacent n-gram windows and k-skip-n-gram expansion.
+
+Semantics match the reference exactly (parity is P/R-critical):
+  - adjacency windows: rex ``AdjacentFeatures.scala:9-13`` — slices with
+    Scala clamping behavior.
+  - k-skip-n-grams: rex ``InsideFeatures.scala:9-36`` — recursive gram
+    selection where the skip budget decrements by the gap ``j`` taken at
+    each step, grams joined with ``,``.
+
+Golden fixtures: rex ``SharedTestingData.scala:13-54`` (ported to
+``tests/test_ngrams.py``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+
+def left_window(tokens: Sequence[str], index: int, width: int) -> list[str]:
+    """Tokens in ``[index-width, index)`` with Scala ``slice`` clamping.
+
+    rex AdjacentFeatures.scala:9-10.
+    """
+    if index <= 0:
+        return []
+    start = max(0, index - width)
+    return list(tokens[start:index])
+
+
+def right_window(tokens: Sequence[str], index: int, width: int) -> list[str]:
+    """Tokens in ``(index, index+width]``. rex AdjacentFeatures.scala:12-13."""
+    start = index + 1
+    if start < 0:
+        start = 0
+    if start >= len(tokens):
+        return []
+    return list(tokens[start : index + 1 + width])
+
+
+def _select_k_skip_gram(s: Sequence[str], n: int, k: int) -> list[str]:
+    # rex InsideFeatures.scala:19-36: emit the head token, then for each
+    # gap j in [0, min(k+1, len(s))) recurse on the remainder with the
+    # skip budget reduced by j; join selected tokens with ','.
+    first = s[0]
+    if n <= 1:
+        return [first]
+    out = [first]
+    for j in range(min(k + 1, len(s))):
+        rest = s[j + 1 :]
+        if rest:
+            out.extend(f"{first},{gram}" for gram in _select_k_skip_gram(rest, n - 1, k - j))
+    return out
+
+
+def k_skip_ngrams(inner: Sequence[str], ngram_width: int, skip_size: int) -> list[str]:
+    """All n-grams and k-skip-n-grams of ``inner``. rex InsideFeatures.scala:9-17."""
+    if not inner:
+        return []
+    end = len(inner) - ngram_width + 2
+    out: list[str] = []
+    for start in range(end):
+        rest = inner[start:]
+        if rest:  # guard: reference never runs with ngram_width < 2
+            out.extend(_select_k_skip_gram(rest, ngram_width, skip_size))
+    return out

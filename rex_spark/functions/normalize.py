@@ -1,0 +1,60 @@
+"""Mention normalization for distant labeling.
+
+rex ``dl/DistantLabeling.scala:44-55``: trim, lowercase, remove
+' " _ ( ) [ ] { }, collapse multi-whitespace — applied in the
+REFERENCE ORDER (quotes/underscore removal, then whitespace collapse,
+then bracket removal), which is observable when bracket removal leaves
+adjacent spaces.
+
+Two implementations with identical output:
+  - ``normalize(s)``       — pure Python, for UDF payloads and tests;
+  - ``normalize_col(col)`` — Spark Column expression chain (JVM-side,
+    whole-stage-codegen friendly; the hot path at scale);
+  - ``NORMALIZE_SQL_DUCKDB`` — the same chain as a DuckDB SQL template,
+    used by the correctness oracle.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_WS = re.compile(" +")
+
+
+def normalize(s: str) -> str:
+    s = s.strip().lower()
+    s = s.replace("'", "").replace('"', "").replace("_", "")
+    s = _WS.sub(" ", s)
+    for ch in "()[]{}":
+        s = s.replace(ch, "")
+    return s
+
+
+def normalize_col(col: Column) -> Column:
+    c = F.lower(F.trim(col))
+    c = F.regexp_replace(c, "'", "")
+    c = F.regexp_replace(c, '"', "")
+    c = F.regexp_replace(c, "_", "")
+    c = F.regexp_replace(c, " +", " ")
+    c = F.regexp_replace(c, r"\(", "")
+    c = F.regexp_replace(c, r"\)", "")
+    c = F.regexp_replace(c, r"\[", "")
+    c = F.regexp_replace(c, r"\]", "")
+    c = F.regexp_replace(c, r"\{", "")
+    c = F.regexp_replace(c, r"\}", "")
+    return c
+
+
+def normalize_sql_duckdb(expr: str) -> str:
+    """DuckDB SQL expression computing the same normalization of ``expr``."""
+    c = f"lower(trim({expr}))"
+    c = f"replace({c}, chr(39), '')"
+    c = f"replace({c}, chr(34), '')"
+    c = f"replace({c}, '_', '')"
+    c = f"regexp_replace({c}, ' +', ' ', 'g')"
+    for ch in "()[]{}":
+        c = f"replace({c}, '{ch}', '')"
+    return c

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+All entry points (tests, bench, __spark_entry__) build sessions here so
+AQE / Arrow / shuffle settings are consistent. Defaults are tuned for
+the sandbox (single JVM, local[N]) but every knob is the one you would
+set on a 1000-executor cluster too.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Configs that matter at 100 TB and cost nothing locally:
+#  - AQE on: runtime coalescing + skew-join splitting (mega-repo skew).
+#  - Arrow on: every Python stage in this engine is a pandas UDF.
+#  - Small broadcast threshold raise: KB / dimension tables are tiny
+#    relative to candidates; broadcast them, never shuffle them.
+_BASE_CONF = {
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    "spark.sql.session.timeZone": "UTC",
+    # deterministic string collation / timestamp behavior
+    "spark.sql.shuffle.partitions": "32",
+    "spark.driver.memory": os.environ.get("REX_DRIVER_MEMORY", "8g"),
+}
+
+
+def get_spark(
+    app_name: str = "rex-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession.
+
+    ``master`` defaults to $REX_SPARK_MASTER or local[*]. In cluster
+    deployments leave it unset and let spark-submit provide it.
+    """
+    master = master or os.environ.get("REX_SPARK_MASTER") or "local[*]"
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = dict(_BASE_CONF)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark(spark: SparkSession) -> None:
+    spark.stop()

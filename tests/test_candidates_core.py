@@ -1,0 +1,70 @@
+"""Golden tests for candidate generation kernels.
+
+rex CandGenTest.scala:11-29 (20 sentence candidates) and :31-45,95-106
+(coref candidates for the John/Judy text).
+"""
+
+from rex_spark.functions.candidates import (
+    coref_candidates,
+    sentence_pairs,
+    sentence_pairs_windowed,
+)
+from rex_spark.functions.filters import no_known_punct, permit_all
+
+INSURGENTS = ["Insurgents", "killed", "in", "ongoing", "fighting"]
+
+
+def test_insurgents_20_candidates():
+    pairs = sentence_pairs(permit_all(INSURGENTS))
+    expected = {(q, a) for q in range(5) for a in range(5) if q != a}
+    assert set(pairs) == expected and len(pairs) == 20
+
+
+def test_windowed_equals_full_when_wide():
+    keep = permit_all(INSURGENTS)
+    assert set(sentence_pairs_windowed(keep, 10)) == set(sentence_pairs(keep))
+
+
+def test_windowed_bounds_gap():
+    keep = permit_all(INSURGENTS)
+    pairs = sentence_pairs_windowed(keep, 1)
+    assert all(abs(q - a) <= 1 for q, a in pairs)
+    assert (0, 1) in pairs and (1, 0) in pairs and (0, 2) not in pairs
+
+
+# --- coref golden (CandGenTest.scala:95-106) ---
+# "John drove to Judy's house. He made her dinner." as processed:
+S0 = ["John", "drove", "to", "Judy", "'s", "house", "."]
+S0_TAGS = ["NNP", "VBD", "TO", "NNP", "POS", "NN", "."]
+S1 = ["He", "made", "her", "dinner", "."]
+S1_TAGS = ["PRP", "VBD", "PRP$", "NN", "."]
+
+# coref chain: John(s0,0) ~ He(s1,0). (The reference test's CoreNLP run
+# resolves only this chain — the golden set contains no Judy~her pairs.)
+CHAINS = [
+    [(0, 0, 1), (1, 0, 1)],
+]
+
+EXPECTED = {
+    ("John", "dinner", ("made", "her")),
+    ("dinner", "John", ("made", "her")),
+    ("He", "Judy", ("drove", "to")),
+    ("Judy", "He", ("drove", "to")),
+    ("He", "house", ("drove", "to", "Judy", "'s")),
+    ("house", "He", ("drove", "to", "Judy", "'s")),
+}
+
+
+def _noun_pronoun_keep(tokens, tags):
+    base = no_known_punct(tokens)
+    ok = {"NN", "NNS", "NNP", "NNPS", "PRP"}
+    return [b and t in ok for b, t in zip(base, tags)]
+
+
+def test_john_judy_coref_candidates():
+    sentences = [S0, S1]
+    mention_keep = [no_known_punct(S0), no_known_punct(S1)]
+    cand_keep = [_noun_pronoun_keep(S0, S0_TAGS), _noun_pronoun_keep(S1, S1_TAGS)]
+    cands = coref_candidates(sentences, CHAINS, mention_keep, cand_keep)
+    actual = {(c["query_w"], c["answer_w"], tuple(c["inner"])) for c in cands}
+    assert actual == EXPECTED

@@ -1,0 +1,58 @@
+"""Golden tests for NER chunking.
+
+Fixtures from rex SharedTestingData.scala:62-88 (john smith doc).
+"""
+
+from rex_spark.functions.chunking import chunk_sentence, old_to_new_indices
+
+JS_TOKENS = [
+    ["John", "Smith", "went", "to", "China", "."],
+    ["He", "visited", "Beijing", ",", "on", "January", "10th", ",", "2013", "."],
+]
+JS_ENTITIES = [
+    ["PERSON", "PERSON", "O", "O", "LOCATION", "O"],
+    ["O", "O", "LOCATION", "O", "O", "DATE", "DATE", "DATE", "DATE", "O"],
+]
+JS_TAGS = [
+    ["NNP", "NNP", "VBD", "TO", "NNP", "."],
+    ["PRP", "VBD", "NNP", ",", "IN", "NNP", "JJ", ",", "CD", "."],
+]
+
+CHUNKED = [
+    ["John Smith", "went", "to", "China", "."],
+    ["He", "visited", "Beijing", ",", "on", "January 10th, 2013", "."],
+]
+
+
+def test_john_smith_chunking():
+    for i in range(2):
+        toks, tags, ents, groups = chunk_sentence(JS_TOKENS[i], JS_TAGS[i], JS_ENTITIES[i])
+        assert toks == CHUNKED[i]
+        # chunk tag/entity = first member's tag (SentenceChunker.scala:91-95)
+        assert tags[0] == JS_TAGS[i][0]
+        assert ents[0] == JS_ENTITIES[i][0]
+
+
+def test_chunk_tag_is_first_member():
+    toks, tags, ents, _ = chunk_sentence(JS_TOKENS[1], JS_TAGS[1], JS_ENTITIES[1])
+    # "January 10th, 2013" chunk: first member January has tag NNP, ent DATE
+    j = toks.index("January 10th, 2013")
+    assert tags[j] == "NNP"
+    assert ents[j] == "DATE"
+
+
+def test_no_entities_passthrough():
+    toks, tags, ents, groups = chunk_sentence(["a", "b"], None, None)
+    assert toks == ["a", "b"] and tags is None and ents is None and groups == []
+
+
+def test_single_token_passthrough():
+    toks, _, _, groups = chunk_sentence(["a"], ["X"], ["PERSON"])
+    assert toks == ["a"] and groups == []
+
+
+def test_old_to_new_indices():
+    _, _, _, groups = chunk_sentence(JS_TOKENS[0], JS_TAGS[0], JS_ENTITIES[0])
+    mapping = old_to_new_indices(groups)
+    # John(0), Smith(1) -> chunk 0; went(2)->1; to(3)->2; China(4)->3; .(5)->4
+    assert mapping == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}

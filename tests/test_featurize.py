@@ -1,0 +1,111 @@
+"""Golden tests for candidate featurization.
+
+The full query x answer -> expected-feature-set map for the insurgents
+sentence under inside-2-skip-2-grams + adjacent-2-grams, ported verbatim
+from rex TextFeatuerizerTest.scala:190-221; plus the 4-skip variant
+single-candidate check (:114-135).
+"""
+
+import pytest
+
+from rex_spark.functions.candidates import sentence_pairs
+from rex_spark.functions.featurize import (
+    aggregate_feature_bags,
+    featurize_sentence_candidate,
+)
+from rex_spark.functions.filters import permit_all
+
+TOKENS = ["Insurgents", "killed", "in", "ongoing", "fighting", "."]
+SEQ5 = TOKENS[:5]
+
+EXPECTED = {
+    "insurgents": {
+        "killed": ["in", "in,ongoing"],
+        "in": ["killed", "ongoing", "ongoing,fighting"],
+        "ongoing": ["killed", "killed,in", "in", "fighting"],
+        "fighting": ["killed", "killed,in", "killed,ongoing", "in", "in,ongoing", "ongoing"],
+    },
+    "killed": {
+        "insurgents": ["in", "in,ongoing"],
+        "in": ["insurgents", "ongoing", "ongoing,fighting"],
+        "ongoing": ["insurgents", "in", "fighting"],
+        "fighting": ["insurgents", "in", "ongoing", "in,ongoing"],
+    },
+    "in": {
+        "insurgents": ["killed", "ongoing", "ongoing,fighting"],
+        "killed": ["insurgents", "ongoing", "ongoing,fighting"],
+        "ongoing": ["insurgents,killed", "killed", "fighting"],
+        "fighting": ["insurgents,killed", "killed", "ongoing"],
+    },
+    "ongoing": {
+        "insurgents": ["killed", "killed,in", "in", "fighting"],
+        "killed": ["insurgents", "in", "fighting"],
+        "in": ["insurgents,killed", "killed", "fighting"],
+        "fighting": ["killed,in", "in"],
+    },
+    "fighting": {
+        "insurgents": ["killed", "killed,in", "killed,ongoing", "in", "in,ongoing", "ongoing"],
+        "killed": ["insurgents", "in", "ongoing", "in,ongoing"],
+        "in": ["insurgents,killed", "killed", "ongoing"],
+        "ongoing": ["killed,in", "in"],
+    },
+}
+
+
+def all_candidate_pairs():
+    # SentenceCandGen with permitAll over the 5-token sentence => 20 pairs
+    return sentence_pairs(permit_all(SEQ5))
+
+
+def test_twenty_candidates():
+    pairs = all_candidate_pairs()
+    assert len(pairs) == 20
+    assert set(pairs) == {(q, a) for q in range(5) for a in range(5) if q != a}
+
+
+@pytest.mark.parametrize("qi,ai", [(q, a) for q in range(5) for a in range(5) if q != a])
+def test_full_featurizer_2skip2gram(qi, ai):
+    bag = featurize_sentence_candidate(
+        SEQ5, qi, ai, adjacent_width=2, inside_ngram=2, inside_skip=2
+    )
+    q = SEQ5[qi].lower()
+    a = SEQ5[ai].lower()
+    assert set(bag) == set(EXPECTED[q][a]), f"({q},{a})"
+
+
+def test_featurizer_4skip_insurgents_killed():
+    # rex TextFeatuerizerTest.scala:114-135 — (Insurgents, killed) under
+    # inside 4-skip-2-grams has the same expected features.
+    bag = featurize_sentence_candidate(
+        SEQ5, 0, 1, adjacent_width=2, inside_ngram=2, inside_skip=4
+    )
+    assert set(bag) == set(EXPECTED["insurgents"]["killed"])
+
+
+def test_featurizer_includes_trailing_punct_filtered():
+    # Using the 6-token sentence (with '.') must give identical features:
+    # the punct token is filtered before windows are taken.
+    for qi, ai in [(0, 1), (0, 4), (4, 0), (2, 3)]:
+        with_punct = featurize_sentence_candidate(
+            TOKENS, qi, ai, adjacent_width=2, inside_ngram=2, inside_skip=2
+        )
+        without = featurize_sentence_candidate(
+            SEQ5, qi, ai, adjacent_width=2, inside_ngram=2, inside_skip=2
+        )
+        assert with_punct == without
+
+
+def test_bag_counts_are_multiplicities():
+    bag = featurize_sentence_candidate(
+        ["a", "b", "a", "b", "c"], 0, 4, adjacent_width=None, inside_ngram=1, inside_skip=0
+    )
+    # inner = b a b -> unigram counts b:2 a:1
+    assert bag == {"b": 2, "a": 1}
+
+
+def test_aggregate_feature_bags():
+    assert aggregate_feature_bags([{"x": 1, "y": 2}, {"y": 3, "z": 1}]) == {
+        "x": 1,
+        "y": 5,
+        "z": 1,
+    }

@@ -1,0 +1,66 @@
+"""Golden tests for n-gram kernels.
+
+Fixtures ported from rex SharedTestingData.scala:13-54 and
+TextFeatuerizerTest.scala:26-110.
+"""
+
+from rex_spark.functions.ngrams import k_skip_ngrams, left_window, right_window
+
+INSURGENTS = ["Insurgents", "killed", "in", "ongoing", "fighting"]
+UNDERSIZED = ["hello", "world"]
+
+UNIGRAMS = {"Insurgents", "killed", "in", "ongoing", "fighting"}
+BIGRAMS = {"Insurgents,killed", "killed,in", "in,ongoing", "ongoing,fighting"}
+SKIP2_BIGRAMS = BIGRAMS | {
+    "Insurgents,in",
+    "killed,ongoing",
+    "in,fighting",
+    "Insurgents,ongoing",
+    "killed,fighting",
+}
+
+
+def test_2skip_2gram_on_sentence():
+    assert set(k_skip_ngrams(INSURGENTS, 2, 2)) == SKIP2_BIGRAMS | UNIGRAMS | BIGRAMS
+
+
+def test_skipgrams_empty():
+    assert k_skip_ngrams([], 2, 2) == []
+
+
+def test_skipgrams_singleton():
+    assert set(k_skip_ngrams(["hello"], 2, 2)) == {"hello"}
+
+
+def test_skipgrams_undersized():
+    assert set(k_skip_ngrams(UNDERSIZED, 2, 2)) == {"hello", "world", "hello,world"}
+
+
+def test_left_full():
+    lowered = [t.lower() for t in INSURGENTS]
+    assert left_window(lowered, 2, 2) == ["insurgents", "killed"]
+
+
+def test_left_undersized():
+    assert left_window(UNDERSIZED, 1, 2) == ["hello"]
+
+
+def test_left_degenerate():
+    lowered = [t.lower() for t in INSURGENTS]
+    for idx in (-162161, 0):
+        assert left_window(lowered, idx, 2) == []
+
+
+def test_right_full():
+    lowered = [t.lower() for t in INSURGENTS]
+    assert right_window(lowered, 0, 2) == ["killed", "in"]
+
+
+def test_right_undersized():
+    assert right_window(UNDERSIZED, 0, 2) == ["world"]
+
+
+def test_right_degenerate():
+    lowered = [t.lower() for t in INSURGENTS]
+    for idx in (len(INSURGENTS) - 1, len(INSURGENTS), len(INSURGENTS) * 10):
+        assert right_window(lowered, idx, 2) == []

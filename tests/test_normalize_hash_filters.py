@@ -1,0 +1,97 @@
+"""Tests for normalization, feature hashing and filters/detokenizer."""
+
+import duckdb
+import pytest
+
+from rex_spark.functions.filters import (
+    KNOWN_PUNCT,
+    detokenize,
+    no_known_punct,
+    no_tagged_punct,
+    sentence_view_filter,
+)
+from rex_spark.functions.hashing import (
+    hash_feature,
+    hash_feature_bag,
+    murmur3_32,
+    next_prime,
+)
+from rex_spark.functions.normalize import normalize, normalize_sql_duckdb
+
+
+def test_normalize_reference_semantics():
+    # rex DistantLabeling.scala:44-55
+    assert normalize("  Foo's  \"Bar\"_baz  ") == "foos barbaz"
+    assert normalize("A (B) [C] {D}") == "a b c d"
+    assert normalize("a  b   c") == "a b c"
+    # order matters: bracket removal happens AFTER whitespace collapse
+    assert normalize("x ( ) y") == "x   y"
+
+
+def test_normalize_duckdb_parity():
+    samples = [
+        "  Foo's  \"Bar\"_baz  ",
+        "A (B) [C] {D}",
+        "a  b   c",
+        "x ( ) y",
+        "Martin Luther King Junior",
+        "James_Earl_Ray",
+    ]
+    sql = "select " + normalize_sql_duckdb("s") + " as n from samples"
+    con = duckdb.connect()
+    con.execute("create table samples(s varchar)")
+    con.executemany("insert into samples values (?)", [(s,) for s in samples])
+    got = [r[0] for r in con.execute(sql).fetchall()]
+    assert got == [normalize(s) for s in samples]
+
+
+def test_known_punct_is_reference_set():
+    assert len(KNOWN_PUNCT) == 32
+    assert "." in KNOWN_PUNCT and "/" in KNOWN_PUNCT and "a" not in KNOWN_PUNCT
+
+
+def test_detokenize():
+    # rex text/package.scala:8-17
+    assert detokenize(["John", "Smith", "went", "to", "China", "."]) == "John Smith went to China."
+    assert detokenize(["a", ",", "b"]) == "a, b"
+
+
+def test_filters():
+    toks = ["Insurgents", "killed", "."]
+    assert no_known_punct(toks) == [True, True, False]
+    assert no_tagged_punct(toks, ["NNS", "VBN", "."]) == [True, True, False]
+    assert no_tagged_punct(toks, None) == [True, True, True]
+    svf = sentence_view_filter(toks)
+    assert svf == [("insurgents", True), ("killed", True), (".", False)]
+
+
+def test_next_prime():
+    assert next_prime(2) == 2
+    assert next_prime(4) == 5
+    assert next_prime(262144) == 262147
+
+
+def test_murmur3_known_values():
+    # deterministic across runs/processes
+    assert murmur3_32(b"") == murmur3_32(b"")
+    a = hash_feature("insurgents,killed")
+    assert 0 <= a < 262147
+    assert a == hash_feature("insurgents,killed")
+
+
+@pytest.mark.usefixtures("spark")
+def test_murmur3_matches_spark_hash(spark):
+    # pandas-UDF-side hashing must agree with JVM-side F.hash bit for bit
+    from pyspark.sql import functions as F
+
+    feats = ["", "a", "ab", "abc", "abcd", "insurgents,killed", "日本語", "x" * 100]
+    df = spark.createDataFrame([(f,) for f in feats], ["s"])
+    jvm = {r["s"]: r["h"] for r in df.select("s", F.hash("s").alias("h")).collect()}
+    for f in feats:
+        assert murmur3_32(f.encode("utf-8")) == jvm[f], f"mismatch for {f!r}"
+
+
+def test_hash_feature_bag_sorted_and_collision_summed():
+    idx, vals = hash_feature_bag({"a": 1.0, "b": 2.0}, space=7)
+    assert idx == sorted(idx)
+    assert sum(vals) == 3.0
