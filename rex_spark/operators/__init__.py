@@ -1,0 +1,5 @@
+"""Distributed operators: each wraps a pure kernel from
+``rex_spark.functions`` in an Arrow-batched (pandas) Spark stage, or
+composes Spark built-ins. All pre-aggregation stages are NARROW — the
+engine introduces shuffles only at distant-label joins that exceed
+broadcast size, entity-linking iterations, and final writes."""

@@ -1,0 +1,148 @@
+"""Candidate-pair generation fused with featurization.
+
+rex generates candidates (``CandGen.scala``) and featurizes them
+(``CandidateFeatuerizer.scala``) as two map stages over RDDs
+(``SparkDataPipeline.scala:26-43``). Here both run in ONE narrow
+``mapInPandas`` stage over sentence rows: pair enumeration per sentence
+emits candidate rows with their feature bags already attached, so token
+arrays are never duplicated per candidate and no shuffle happens before
+the distant-label join.
+
+Feature output is hashed sparse ``(f_idx, f_val)`` by default (rex
+HashedExampleIndexer, RelationLearner.scala:34-63) — scale-free, no
+global dictionary fit. Pass ``hash_space=None`` to emit the raw
+``map<string,double>`` bag instead (parity tests / debugging).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.candidates import sentence_pairs, sentence_pairs_windowed
+from ..functions.featurize import featurize_sentence_candidate
+from ..functions.filters import no_known_punct
+from ..functions.hashing import DEFAULT_FEATURE_SPACE, hash_feature_bag
+
+
+@dataclass
+class CandidateConfig:
+    # which tokens may be a query/answer endpoint:
+    #   entities: entity-tagged tokens only (the KG-construction path)
+    #   ids:      identifier-class tokens (POS-analog of the reference's
+    #             noun/pronoun filter, app/package.scala:35-42)
+    #   no_punct: any non-punctuation token (WordFilter.noKnownPunct)
+    #   all:      every token (WordFilter.permitAll)
+    candidate_filter: str = "entities"
+    max_gap: int | None = None  # bound |q-a|; None = all pairs (reference)
+    adjacent_width: int | None = 2  # rex app default: adjacent 2-grams
+    inside_ngram: int | None = 2  # rex app default: inside 4-skip-2-grams
+    inside_skip: int = 4
+    hash_space: int | None = DEFAULT_FEATURE_SPACE
+    non_entity: str = "O"
+
+
+def _endpoint_keep(conf: CandidateConfig, tokens, tags, entities) -> list[bool]:
+    if conf.candidate_filter == "entities":
+        return [e != conf.non_entity for e in entities]
+    if conf.candidate_filter == "ids":
+        base = no_known_punct(tokens)
+        return [b and t == "ID" for b, t in zip(base, tags)]
+    if conf.candidate_filter == "no_punct":
+        return no_known_punct(tokens)
+    return [True] * len(tokens)
+
+
+_BASE_FIELDS = [
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("sent_idx", T.IntegerType(), False),
+    T.StructField("q_idx", T.IntegerType(), False),
+    T.StructField("a_idx", T.IntegerType(), False),
+    T.StructField("query_w", T.StringType(), False),
+    T.StructField("answer_w", T.StringType(), False),
+    T.StructField("query_ent", T.StringType(), True),
+    T.StructField("answer_ent", T.StringType(), True),
+]
+
+_HASHED_FIELDS = [
+    T.StructField("f_idx", T.ArrayType(T.IntegerType()), False),
+    T.StructField("f_val", T.ArrayType(T.DoubleType()), False),
+]
+
+_BAG_FIELD = [T.StructField("features", T.MapType(T.StringType(), T.DoubleType()), False)]
+
+
+def candidate_schema(conf: CandidateConfig, carry_fields: list[T.StructField]) -> T.StructType:
+    feat = _HASHED_FIELDS if conf.hash_space else _BAG_FIELD
+    return T.StructType(_BASE_FIELDS + feat + list(carry_fields))
+
+
+def generate_candidates(
+    sentences: DataFrame,
+    conf: CandidateConfig | None = None,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """sentences(doc_id, sent_idx, tokens, tags, entities, *carry) ->
+    candidate rows with features. Narrow (zero shuffle)."""
+    conf = conf or CandidateConfig()
+    carry_cols = carry_cols or []
+    in_fields = {f.name: f for f in sentences.schema.fields}
+    schema = candidate_schema(conf, [in_fields[c] for c in carry_cols])
+    spark = sentences.sparkSession
+    bconf = spark.sparkContext.broadcast(conf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf: CandidateConfig = bconf.value
+        hashed = cf.hash_space is not None
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in schema.fields}
+            for row in pdf.itertuples(index=False):
+                rd = row._asdict()
+                tokens = list(rd["tokens"])
+                tags = list(rd["tags"]) if rd["tags"] is not None else ["ID"] * len(tokens)
+                ents = (
+                    list(rd["entities"])
+                    if rd["entities"] is not None
+                    else [cf.non_entity] * len(tokens)
+                )
+                keep = _endpoint_keep(cf, tokens, tags, ents)
+                if cf.max_gap is None:
+                    pairs = sentence_pairs(keep)
+                else:
+                    pairs = sentence_pairs_windowed(keep, cf.max_gap)
+                for q, a in pairs:
+                    bag = featurize_sentence_candidate(
+                        tokens,
+                        q,
+                        a,
+                        adjacent_width=cf.adjacent_width,
+                        inside_ngram=cf.inside_ngram,
+                        inside_skip=cf.inside_skip,
+                        tags=tags,
+                    )
+                    cols["doc_id"].append(rd["doc_id"])
+                    cols["sent_idx"].append(rd["sent_idx"])
+                    cols["q_idx"].append(q)
+                    cols["a_idx"].append(a)
+                    cols["query_w"].append(tokens[q])
+                    cols["answer_w"].append(tokens[a])
+                    cols["query_ent"].append(ents[q])
+                    cols["answer_ent"].append(ents[a])
+                    if hashed:
+                        idx, val = hash_feature_bag(bag, cf.hash_space)
+                        cols["f_idx"].append(idx)
+                        cols["f_val"].append(val)
+                    else:
+                        cols["features"].append(bag)
+                    for c in carry_cols:
+                        cols[c].append(rd[c])
+            yield pd.DataFrame(cols)
+
+    cols = list(
+        dict.fromkeys(["doc_id", "sent_idx", "tokens", "tags", "entities"] + carry_cols)
+    )
+    return sentences.select(*cols).mapInPandas(fn, schema)

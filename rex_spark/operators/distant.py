@@ -1,0 +1,65 @@
+"""Distant labeling: label candidates by KB lookup on normalized mentions.
+
+rex ``dl/DistantLabeling.scala:22-29`` does a driver-side nested-map
+lookup per candidate. The Spark-native form is a BROADCAST LEFT JOIN of
+the candidate stream against the (small) normalized KB — zero shuffle
+on the big side; AQE skew handling is irrelevant because the broadcast
+never shuffles the candidates at all.
+
+Normalization (rex ``:44-55``) runs JVM-side as a Column expression
+chain (whole-stage codegen), not in Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_col
+
+NO_RELATION = "no_relation"  # rex app/package.scala:137-138
+
+
+def normalized_kb(kb: DataFrame) -> DataFrame:
+    """KB triples with normalized join keys, deduped."""
+    return (
+        kb.select(
+            normalize_col(F.col("subj")).alias("subj_n"),
+            normalize_col(F.col("obj")).alias("obj_n"),
+            "rel",
+        )
+        .where((F.col("subj_n") != "") & (F.col("obj_n") != ""))
+        .distinct()
+    )
+
+
+def distant_label(
+    candidates: DataFrame,
+    kb: DataFrame,
+    query_col: str = "query_w",
+    answer_col: str = "answer_w",
+    multi: bool = True,
+) -> DataFrame:
+    """Attach a ``label`` column to candidate rows via broadcast KB join.
+
+    ``multi=True``: one output row PER matching relation (a candidate
+    pair present in the KB under k relations yields k rows), unmatched
+    candidates get ``no_relation`` — mirroring rex's Set[Label] result
+    (DistantLabeling.scala:22-29) flattened for DataFrame processing.
+    ``multi=False``: one row per candidate with the lexicographically
+    first relation (deterministic).
+    """
+    nkb = normalized_kb(kb)
+    if not multi:
+        nkb = nkb.groupBy("subj_n", "obj_n").agg(F.min("rel").alias("rel"))
+    cands = candidates.withColumn("query_n", normalize_col(F.col(query_col))).withColumn(
+        "answer_n", normalize_col(F.col(answer_col))
+    )
+    joined = cands.join(
+        F.broadcast(nkb),
+        (cands["query_n"] == nkb["subj_n"]) & (cands["answer_n"] == nkb["obj_n"]),
+        "left",
+    )
+    return joined.withColumn(
+        "label", F.coalesce(F.col("rel"), F.lit(NO_RELATION))
+    ).drop("rel", "subj_n", "obj_n")

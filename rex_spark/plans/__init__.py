@@ -1,0 +1,1 @@
+"""End-to-end logical plans composing the operators."""

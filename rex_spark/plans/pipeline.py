@@ -1,0 +1,88 @@
+"""The flagship KG-construction plan.
+
+rex ``spark/SparkDataPipeline.scala:26-43`` composes
+process -> chunk -> candgen -> featurize as four narrow RDD stages; this
+plan is the same composition as DataFrame transformations (Catalyst
+fuses the pandas stages into one python-runner pipeline) plus the
+distant-label broadcast join and optional model scoring:
+
+    docs --lex--> sentences --candgen+featurize--> candidates
+         --broadcast KB join--> labeled candidates
+         --[optional: broadcast-W matmul scoring]--> scored
+         --filter + project--> (subj, pred, obj) triples + lineage
+
+Zero shuffles end-to-end in distant mode (the KB join is broadcast);
+the only wide stages downstream are optional dedup/write.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.candidates import CandidateConfig, generate_candidates
+from ..operators.distant import NO_RELATION, distant_label
+from ..operators.lexer import LexerConfig, lex_documents
+
+
+@dataclass
+class PipelineConfig:
+    lexer: LexerConfig = field(default_factory=LexerConfig)
+    candidates: CandidateConfig = field(default_factory=CandidateConfig)
+    carry_cols: list[str] = field(default_factory=lambda: ["repo", "content_sha256"])
+
+
+def annotate(docs: DataFrame, lexicon: dict[str, str], conf: PipelineConfig) -> DataFrame:
+    carry = [c for c in conf.carry_cols if c in docs.columns]
+    return lex_documents(
+        docs, lexicon, conf.lexer, id_col="doc_id", text_col="content", carry_cols=carry
+    )
+
+
+def candidates(docs: DataFrame, lexicon: dict[str, str], conf: PipelineConfig) -> DataFrame:
+    sentences = annotate(docs, lexicon, conf)
+    carry = [c for c in conf.carry_cols if c in sentences.columns]
+    return generate_candidates(sentences, conf.candidates, carry_cols=carry)
+
+
+def extract_triples_distant(
+    docs: DataFrame,
+    kb: DataFrame,
+    lexicon: dict[str, str],
+    conf: PipelineConfig | None = None,
+) -> DataFrame:
+    """Distant-supervision triple extraction: every candidate mention pair
+    found in the KB becomes a (subj, pred, obj) triple row with lineage.
+    """
+    conf = conf or PipelineConfig()
+    cands = candidates(docs, lexicon, conf)
+    labeled = distant_label(cands, kb)
+    carry = [c for c in conf.carry_cols if c in labeled.columns]
+    return labeled.where(F.col("label") != NO_RELATION).select(
+        F.col("query_w").alias("subj"),
+        F.col("label").alias("pred"),
+        F.col("answer_w").alias("obj"),
+        "doc_id",
+        "sent_idx",
+        "q_idx",
+        "a_idx",
+        *carry,
+    )
+
+
+def distinct_triples(triples: DataFrame) -> DataFrame:
+    """The KG's distinct edge set (wide: one hash aggregate)."""
+    return triples.select("subj", "pred", "obj").distinct()
+
+
+def precision_recall(emitted: set[tuple], golden: set[tuple]) -> tuple[float, float, float]:
+    """Set P/R/F1 of (subj, pred, obj) triples vs the golden set."""
+    if not emitted:
+        return (0.0, 0.0, 0.0)
+    tp = len(emitted & golden)
+    p = tp / len(emitted)
+    r = tp / len(golden) if golden else 1.0
+    f1 = 2 * p * r / (p + r) if (p + r) else 0.0
+    return (p, r, f1)

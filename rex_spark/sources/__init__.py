@@ -1,0 +1,2 @@
+"""Sources & sinks: corpus readers, KB TSV loader/writer, synthetic
+source-code corpus generator, table catalog with manifests/resume."""

@@ -1,0 +1,206 @@
+"""Deterministic synthetic source-code corpus with planted relations.
+
+Produces the BASELINE.json input_hint table
+``(repo, path, commit, lang, content)`` at any scale, with:
+
+  - Zipf-skewed rows-per-repo (mega-repo skew — exercises salting/AQE);
+  - a deterministic entity vocabulary + KB of (subj, obj, rel) triples;
+  - planted relation mentions: lines like ``x = Svc12.dispatch(Mod34)``
+    whose entity pair is in the KB, plus negative co-occurrences and
+    single-mention noise lines;
+  - GOLDEN TRIPLES computable analytically (pure Python scan of the
+    same generated lines, independent of the Spark pipeline) so the
+    P/R >= 0.95 gate compares two independent derivations.
+
+Generation is per-doc deterministic: content depends only on
+(seed, doc_id), so it runs distributed via ``spark.range(n).mapInPandas``
+with no driver materialization and is reproducible at any parallelism.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from dataclasses import dataclass, field
+from hashlib import sha256
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+RELATIONS = ("calls", "imports", "extends")
+
+# rel -> (template, needs entity pair). Entity-free filler elsewhere.
+_REL_TEMPLATES = {
+    "calls": "x{k} = {s}.dispatch({o})",
+    "imports": "{s} requires {o}",
+    "extends": "class {s} extends {o}:",
+}
+
+_NOISE_LINES = (
+    "val n{k} = {k}",
+    "return buffer[{k}]",
+    "# offset {k} checked",
+    "for i{k} in range({k}):",
+)
+
+_LANGS = ("py", "java", "scala", "go", "rs")
+
+
+@dataclass
+class CorpusConfig:
+    n_docs: int = 1000
+    n_entities: int = 200
+    n_kb: int = 400  # triples in the KB
+    n_repos: int = 50
+    zipf_exponent: float = 1.2
+    mean_lines: int = 12
+    p_planted: float = 0.45  # planted KB-pair line
+    p_negative: float = 0.2  # co-occurring pair NOT from the KB
+    p_single: float = 0.15  # single-mention line
+    seed: int = 42
+
+
+def entity_name(i: int) -> str:
+    # single-token identifiers, stable under mention normalization
+    # (no quotes/brackets/underscores — normalize() only lowercases them)
+    kind = ("Svc", "Mod", "Core", "Util", "Repo")[i % 5]
+    return f"{kind}{i}"
+
+
+def entity_type(i: int) -> str:
+    return ("CLASS", "MODULE", "CLASS", "FUNC", "MODULE")[i % 5]
+
+
+def make_lexicon(conf: CorpusConfig) -> dict[str, str]:
+    return {entity_name(i): entity_type(i) for i in range(conf.n_entities)}
+
+
+def make_kb(conf: CorpusConfig) -> list[tuple[str, str, str]]:
+    """Deterministic KB triples over the entity vocabulary."""
+    rng = np.random.default_rng([conf.seed, 7])
+    seen = set()
+    out: list[tuple[str, str, str]] = []
+    while len(out) < conf.n_kb:
+        s = int(rng.integers(0, conf.n_entities))
+        o = int(rng.integers(0, conf.n_entities))
+        if s == o:
+            continue
+        rel = RELATIONS[int(rng.integers(0, len(RELATIONS)))]
+        key = (s, o, rel)
+        if key in seen:
+            continue
+        seen.add(key)
+        out.append((entity_name(s), entity_name(o), rel))
+    return out
+
+
+def _repo_cdf(conf: CorpusConfig) -> np.ndarray:
+    w = 1.0 / np.power(np.arange(1, conf.n_repos + 1), conf.zipf_exponent)
+    return np.cumsum(w / w.sum())
+
+
+def gen_doc(doc_id: int, conf: CorpusConfig, kb: list[tuple[str, str, str]],
+            cdf: np.ndarray) -> dict:
+    """Pure per-doc generation — content depends only on (seed, doc_id)."""
+    rng = np.random.default_rng([conf.seed, 13, doc_id])
+    repo_idx = int(np.searchsorted(cdf, rng.random()))
+    lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+    n_lines = max(3, int(rng.poisson(conf.mean_lines)))
+    lines: list[str] = []
+    for k in range(n_lines):
+        u = rng.random()
+        if u < conf.p_planted and kb:
+            s, o, rel = kb[int(rng.integers(0, len(kb)))]
+            lines.append(_REL_TEMPLATES[rel].format(s=s, o=o, k=k))
+        elif u < conf.p_planted + conf.p_negative:
+            a = entity_name(int(rng.integers(0, conf.n_entities)))
+            b = entity_name(int(rng.integers(0, conf.n_entities)))
+            lines.append(f"log{k} = trace({a}, {b})")
+        elif u < conf.p_planted + conf.p_negative + conf.p_single:
+            a = entity_name(int(rng.integers(0, conf.n_entities)))
+            lines.append(f"{a}.init()")
+        else:
+            lines.append(_NOISE_LINES[k % len(_NOISE_LINES)].format(k=k))
+    content = "\n".join(lines)
+    commit = sha256(f"{conf.seed}:{doc_id}".encode()).hexdigest()
+    return {
+        "repo": f"org/repo{repo_idx}",
+        "path": f"src/pkg{doc_id % 97}/file{doc_id}.{lang}",
+        "commit": commit,
+        "lang": lang,
+        "content": content,
+    }
+
+
+DOCS_SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content", T.StringType(), False),
+    ]
+)
+
+
+def corpus_df(spark: SparkSession, conf: CorpusConfig | None = None,
+              partitions: int | None = None) -> DataFrame:
+    """Distributed deterministic corpus; adds doc_id + content_sha256
+    (the per-row invariant column carried through the pipeline)."""
+    conf = conf or CorpusConfig()
+    kb = make_kb(conf)
+    cdf = _repo_cdf(conf)
+    bconf = spark.sparkContext.broadcast((conf, kb, cdf))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf, kb_, cdf_ = bconf.value
+        for pdf in batches:
+            rows = [gen_doc(int(i), cf, kb_, cdf_) for i in pdf["id"]]
+            out = pd.DataFrame(rows)
+            out["doc_id"] = [str(int(i)) for i in pdf["id"]]
+            yield out
+
+    schema = T.StructType(
+        list(DOCS_SCHEMA.fields) + [T.StructField("doc_id", T.StringType(), False)]
+    )
+    rng = spark.range(conf.n_docs, numPartitions=partitions or 32)
+    docs = rng.mapInPandas(fn, schema)
+    return docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+
+
+def kb_df(spark: SparkSession, conf: CorpusConfig | None = None) -> DataFrame:
+    conf = conf or CorpusConfig()
+    return spark.createDataFrame(make_kb(conf), ["subj", "obj", "rel"]).distinct()
+
+
+def golden_triples(conf: CorpusConfig, doc_ids: range | None = None) -> set[tuple]:
+    """Analytic golden: for each generated line, every ordered pair of
+    lexicon mentions is looked up (normalized) in the KB — (subj, rel, obj)
+    for hits. Independent of the Spark pipeline (pure Python re-derivation
+    from the same deterministic generator).
+    """
+    from ..functions.normalize import normalize
+
+    kb = make_kb(conf)
+    cdf = _repo_cdf(conf)
+    lex = make_lexicon(conf)
+    kbn: dict[tuple[str, str], set[str]] = {}
+    for s, o, r in kb:
+        kbn.setdefault((normalize(s), normalize(o)), set()).add(r)
+    import re
+
+    tok_re = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+    out: set[tuple] = set()
+    for d in doc_ids or range(conf.n_docs):
+        doc = gen_doc(d, conf, kb, cdf)
+        for line in doc["content"].splitlines():
+            ments = [t for t in tok_re.findall(line) if t in lex]
+            for i, q in enumerate(ments):
+                for j, a in enumerate(ments):
+                    if i == j:
+                        continue
+                    for rel in kbn.get((normalize(q), normalize(a)), ()):
+                        out.add((q, rel, a))
+    return out

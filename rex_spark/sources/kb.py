@@ -1,0 +1,53 @@
+"""Knowledge-base triple store: TSV loader/writer + dedupe.
+
+rex ``dl/LoadDistLabelKb.scala``: TSV rows ``query \\t answer \\t label``
+folded into a nested map. Spark-first: the KB is a DataFrame
+``(subj, obj, rel)`` deduped by groupBy — it participates in joins as a
+broadcast side, never as an in-memory driver map.
+
+The reference's writer has a bug (writes ``$q\\t$q\\t$l`` — the answer is
+never written, LoadDistLabelKb.scala:63-64). We write the obvious
+``subj\\tobj\\trel`` and do not replicate the bug.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+KB_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType(), False),
+        T.StructField("obj", T.StringType(), False),
+        T.StructField("rel", T.StringType(), False),
+    ]
+)
+
+
+def load_kb_tsv(spark: SparkSession, path: str) -> DataFrame:
+    """rex LoadDistLabelKb.apply (:19-40). Distinct triples."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema(KB_SCHEMA)
+        .csv(path)
+        .dropna()
+        .distinct()
+    )
+
+
+def write_kb_tsv(kb: DataFrame, path: str) -> None:
+    """Correct-semantics writer (deviation from reference bug documented
+    in the module docstring)."""
+    kb.select("subj", "obj", "rel").write.mode("overwrite").option("sep", "\t").csv(path)
+
+
+def kb_grouped(kb: DataFrame) -> DataFrame:
+    """(subj, obj) -> sorted distinct rel list. rex KB nested-map merge
+    (LoadDistLabelKb.scala:25-39, E9)."""
+    return kb.groupBy("subj", "obj").agg(F.array_sort(F.collect_set("rel")).alias("rels"))
+
+
+def relations_of(kb: DataFrame) -> list[str]:
+    """Relation vocabulary. rex DistLabelStr.relationsOf (DistantLabeling.scala:31-38)."""
+    return sorted(r["rel"] for r in kb.select("rel").distinct().collect())

@@ -1,0 +1,77 @@
+"""End-to-end: synthetic corpus -> distant-labeled triples vs analytic golden.
+
+The P/R >= 0.95 gate (BASELINE.json): here the two derivations are fully
+independent (Spark lexer/candgen/broadcast-join vs pure-Python line scan)
+so equality is a real check, and we require P = R = 1.0 on the
+deterministic corpus.
+"""
+
+import pytest
+
+from rex_spark.plans.pipeline import (
+    PipelineConfig,
+    distinct_triples,
+    extract_triples_distant,
+    precision_recall,
+)
+from rex_spark.sources.corpus import (
+    CorpusConfig,
+    corpus_df,
+    golden_triples,
+    kb_df,
+    make_lexicon,
+)
+
+CONF = CorpusConfig(n_docs=120, n_entities=60, n_kb=90, n_repos=10, seed=42)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    docs = corpus_df(spark, CONF, partitions=8).cache()
+    docs.count()
+    return docs
+
+
+def test_corpus_deterministic(spark, corpus):
+    again = corpus_df(spark, CONF, partitions=3)  # different parallelism
+    a = {tuple(r) for r in corpus.select("doc_id", "content_sha256").collect()}
+    b = {tuple(r) for r in again.select("doc_id", "content_sha256").collect()}
+    assert a == b
+
+
+def test_corpus_skew(corpus):
+    counts = {r["repo"]: r["count"] for r in corpus.groupBy("repo").count().collect()}
+    assert counts["org/repo0"] == max(counts.values())
+    assert counts["org/repo0"] > 3 * min(counts.values())
+
+
+def test_triples_match_golden(spark, corpus):
+    kb = kb_df(spark, CONF)
+    lex = make_lexicon(CONF)
+    triples = extract_triples_distant(corpus, kb, lex, PipelineConfig())
+    emitted = {
+        (r["subj"], r["pred"], r["obj"]) for r in distinct_triples(triples).collect()
+    }
+    golden = golden_triples(CONF)
+    p, r, f1 = precision_recall(emitted, golden)
+    assert p == 1.0 and r == 1.0, (
+        f"P={p} R={r}; spurious={sorted(emitted - golden)[:5]} "
+        f"missed={sorted(golden - emitted)[:5]}"
+    )
+
+
+def test_sha256_invariant_survives(spark, corpus):
+    # per-row invariant: content sha256 carried through the pipeline
+    # equals sha256 recomputed at the source (BASELINE.json input_hint)
+    kb = kb_df(spark, CONF)
+    lex = make_lexicon(CONF)
+    triples = extract_triples_distant(corpus, kb, lex, PipelineConfig())
+    src = corpus.select("doc_id", "content_sha256").withColumnRenamed(
+        "content_sha256", "expected_sha"
+    )
+    bad = (
+        triples.join(src, "doc_id")
+        .where("content_sha256 <> expected_sha")
+        .count()
+    )
+    assert bad == 0
