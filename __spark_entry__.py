@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship distant-supervision triple extraction
+on /root/testdata/sf0.001. ``queries()`` exposes one operator per
+SURVEY.md §2 item that is DataFrame-expressible over the driver testdata
+tables; ``oracle_sql()`` gives the DuckDB equivalent for each.
+
+Column names and types are aligned between both engines (aggregates are
+aliased identically; counts are BIGINT; floats are rounded doubles).
 """
 
 from __future__ import annotations
@@ -12,27 +14,485 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rex_spark.functions.normalize import normalize_col, normalize_sql_duckdb
+from rex_spark.operators.mentions import extract_mentions, mention_pairs
+
+# ---------------------------------------------------------------------------
+# Deterministic lexicon + KB over the documents-table vocabulary.
+# ---------------------------------------------------------------------------
+
+ENTITY_WORDS = ["spark", "customer", "table", "join", "stream", "window", "vector", "hash"]
+
+KB_TRIPLES = [
+    ("spark", "table", "scans"),
+    ("spark", "table", "writes"),  # multi-label pair
+    ("customer", "table", "reads"),
+    ("join", "table", "uses"),
+    ("stream", "window", "aggregates"),
+    ("window", "stream", "partitions"),
+    ("vector", "hash", "indexes"),
+    ("hash", "join", "accelerates"),
+    ("spark", "stream", "processes"),
+    ("customer", "spark", "runs"),
+]
+
+MAX_GAP = 3
+NO_RELATION = "no_relation"
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _kb_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(KB_TRIPLES, ["subj", "obj", "rel"])
+
+
+def _pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return mention_pairs(
+        _docs(spark, sf_dir), ENTITY_WORDS, MAX_GAP, id_col="doc_id", text_col="text"
+    )
+
+
+def _labeled_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _pairs(spark, sf_dir)
+    kb = _kb_df(spark)
+    joined = pairs.join(
+        F.broadcast(kb),
+        (pairs["query_w"] == kb["subj"]) & (pairs["answer_w"] == kb["obj"]),
+        "left",
+    )
+    return joined.withColumn("label", F.coalesce(F.col("rel"), F.lit(NO_RELATION)))
+
+
+# SQL building blocks for the DuckDB oracle (dialect: DuckDB 1.0).
+_SQL_LEX = "(" + ",".join(f"'{w}'" for w in ENTITY_WORDS) + ")"
+_SQL_KB = "(VALUES " + ",".join(f"('{s}','{o}','{r}')" for s, o, r in KB_TRIPLES) + ")"
+
+_SQL_MENTIONS = f"""
+  SELECT doc_id, CAST(pos AS BIGINT) AS pos, mention FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS mention,
+           unnest(range(len(string_split(text, ' ')))) AS pos
+    FROM documents
+  ) WHERE mention IN {_SQL_LEX}
+"""
+
+_SQL_PAIRS = f"""
+  WITH m AS ({_SQL_MENTIONS})
+  SELECT a.doc_id, a.pos AS q_pos, b.pos AS a_pos,
+         a.mention AS query_w, b.mention AS answer_w
+  FROM m a JOIN m b
+    ON a.doc_id = b.doc_id AND a.pos <> b.pos AND abs(a.pos - b.pos) <= {MAX_GAP}
+"""
+
+_SQL_LABELED = f"""
+  WITH pairs AS ({_SQL_PAIRS}), kb(subj, obj, rel) AS {_SQL_KB}
+  SELECT pairs.*, coalesce(kb.rel, '{NO_RELATION}') AS label
+  FROM pairs LEFT JOIN kb ON pairs.query_w = kb.subj AND pairs.answer_w = kb.obj
+"""
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: distant-supervision triple extraction over sf0.001."""
+    return q_triples_distant(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = extract_mentions(_docs(spark, sf_dir), ENTITY_WORDS, id_col="doc_id", text_col="text")
+    return m.select("doc_id", F.col("pos").cast("bigint").alias("pos"), "mention")
+
+
+def q_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _pairs(spark, sf_dir)
+        .groupBy("query_w", "answer_w")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+def q_triples_distant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _labeled_pairs(spark, sf_dir)
+    return (
+        labeled.where(F.col("label") != NO_RELATION)
+        .groupBy(
+            F.col("query_w").alias("subj"),
+            F.col("label").alias("pred"),
+            F.col("answer_w").alias("obj"),
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+
+
+def q_label_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _labeled_pairs(spark, sf_dir)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E1 analog with idempotent (hash-keyed, not rand) sampling: keep all
+    # positives + ~25% of no_relation rows keyed by row identity.
+    lab = _labeled_pairs(spark, sf_dir)
+    keep = (F.col("label") != NO_RELATION) | (
+        (F.col("doc_id") * 1000003 + F.col("q_pos") * 131 + F.col("a_pos")) % 100 < 25
+    )
+    return lab.where(keep).groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_fold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.groupBy((F.col("doc_id") % 4).alias("fold"))
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars"))
+    )
+
+
+def q_normalize_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer")
+    dirty = F.concat(F.lit("  "), F.upper(F.col("c_name")), F.lit(" _ ["), F.col("c_mktsegment"), F.lit("]"))
+    return c.select(F.col("c_custkey"), normalize_col(dirty).alias("norm_name"))
+
+
+def q_kb_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    o = _tbl(spark, sf_dir, "orders")
+    trip = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .select(F.col("c_name").alias("subj"), F.col("n_name").alias("obj"),
+                F.col("o_orderpriority").alias("rel"))
+    )
+    return trip.groupBy("subj", "obj").agg(
+        F.array_join(F.array_sort(F.collect_set("rel")), ",").alias("rels"),
+        F.size(F.collect_set("rel")).cast("bigint").alias("n_rels"),
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    n_tokens = F.size(toks).cast("bigint")
+    n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
+    stop = F.size(F.filter(toks, lambda x: x.isin("the", "a"))).cast("double")
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_distinct.alias("n_distinct"),
+        F.round(stop / n_tokens.cast("double"), 6).alias("stop_ratio"),
+        F.round(
+            (F.length("text") - n_tokens + F.lit(1)).cast("double") / n_tokens.cast("double"), 6
+        ).alias("avg_token_len"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _tbl(spark, sf_dir, "events").createOrReplaceTempView("events_v")
+    return spark.sql(
+        """
+        WITH g AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTES THEN 1 ELSE 0 END AS brk
+          FROM events_v
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT user_id, count(*) AS n_events, sum(brk) + 1 AS n_sessions
+        FROM g GROUP BY user_id
+        """
+    )
+
+
+def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT lang, doc_id, n_chars, rn FROM (
+          SELECT lang, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents_v
+        ) WHERE rn <= 3
+        """
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q1-style aggregation; decimal intermediates for cross-engine
+    # exactness, doubles in the result.
+    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+               COUNT(*) AS count_order
+        FROM lineitem_v
+        GROUP BY l_returnflag, l_linestatus
+        """
+    )
+
+
+def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3-style join pipeline: dimension filters + fact join + agg.
+    _tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_lineitems
+        FROM customer_v
+        JOIN orders_v ON c_custkey = o_custkey
+        JOIN lineitem_v ON l_orderkey = o_orderkey
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # 3-gram shingle Jaccard near-dup pairs among the first 100 docs.
+    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents_v WHERE doc_id < 100),
+        sh AS (
+          SELECT DISTINCT doc_id, sh FROM (
+            SELECT doc_id, explode(transform(sequence(0, size(toks) - 3),
+                   i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS sh
+            FROM d WHERE size(toks) >= 3
+          )
+        ),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.01
+        """
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # brute-force cosine top-k vs the vec_id=0 embedding (double-precision,
+    # sequential accumulation in both engines).
+    _tbl(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings_v")
+    return spark.sql(
+        """
+        WITH q AS (SELECT transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                   FROM embeddings_v WHERE vec_id = 0),
+        scored AS (
+          SELECT vec_id,
+                 aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)), qv,
+                                    (x, y) -> x * y), 0D, (acc, x) -> acc + x)
+                 / (sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D,
+                                   (acc, x) -> acc + x * x))
+                    * sqrt(aggregate(qv, 0D, (acc, x) -> acc + x * x))) AS cos_sim
+          FROM embeddings_v CROSS JOIN q
+          WHERE vec_id <> 0
+        )
+        SELECT vec_id, round(cos_sim, 5) AS cos_sim
+        FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "mentions": q_mentions,
+        "candidate_pairs": q_candidate_pairs,
+        "triples_distant": q_triples_distant,
+        "label_histogram": q_label_histogram,
+        "negative_sampling": q_negative_sampling,
+        "fold_assignment": q_fold_assignment,
+        "normalize_mentions": q_normalize_mentions,
+        "kb_dedupe": q_kb_dedupe,
+        "dedup_exact": q_dedup_exact,
+        "token_stats": q_token_stats,
+        "sessionize": q_sessionize,
+        "topk_docs_per_lang": q_topk_docs_per_lang,
+        "pricing_summary": q_pricing_summary,
+        "segment_revenue": q_segment_revenue,
+        "ngram_jaccard": q_ngram_jaccard,
+        "ann_cosine_topk": q_ann_cosine_topk,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect)
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm = normalize_sql_duckdb(
+        "concat('  ', upper(c_name), ' _ [', c_mktsegment, ']')"
+    )
+    return {
+        "mentions": _SQL_MENTIONS,
+        "candidate_pairs": f"""
+            WITH pairs AS ({_SQL_PAIRS})
+            SELECT query_w, answer_w, count(*) AS n_pairs
+            FROM pairs GROUP BY query_w, answer_w
+        """,
+        "triples_distant": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT query_w AS subj, label AS pred, answer_w AS obj, count(*) AS support
+            FROM lab WHERE label <> '{NO_RELATION}'
+            GROUP BY 1, 2, 3
+        """,
+        "label_histogram": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT label, count(*) AS n FROM lab GROUP BY label
+        """,
+        "negative_sampling": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT label, count(*) AS n FROM lab
+            WHERE label <> '{NO_RELATION}'
+               OR (doc_id * 1000003 + q_pos * 131 + a_pos) % 100 < 25
+            GROUP BY label
+        """,
+        "fold_assignment": """
+            SELECT doc_id % 4 AS fold, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            FROM documents GROUP BY 1
+        """,
+        "normalize_mentions": f"""
+            SELECT c_custkey, {norm} AS norm_name FROM customer
+        """,
+        "kb_dedupe": """
+            WITH trip AS (
+              SELECT DISTINCT c_name AS subj, n_name AS obj, o_orderpriority AS rel
+              FROM orders
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation ON c_nationkey = n_nationkey
+            )
+            SELECT subj, obj,
+                   string_agg(rel, ',' ORDER BY rel) AS rels,
+                   count(*) AS n_rels
+            FROM trip GROUP BY subj, obj
+        """,
+        "dedup_exact": """
+            SELECT md5(text) AS fp, count(*) AS n_copies, min(doc_id) AS keeper
+            FROM documents GROUP BY 1
+        """,
+        "token_stats": """
+            SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+                   round(CAST(len(list_filter(string_split(text, ' '),
+                                              x -> x IN ('the', 'a'))) AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS stop_ratio,
+                   round(CAST(length(text) - len(string_split(text, ' ')) + 1 AS DOUBLE)
+                         / len(string_split(text, ' ')), 6) AS avg_token_len
+            FROM documents
+        """,
+        "sessionize": """
+            WITH g AS (
+              SELECT user_id, ts,
+                     CASE WHEN ts > lag(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, count(*) AS n_events, sum(brk) + 1 AS n_sessions
+            FROM g GROUP BY user_id
+        """,
+        "topk_docs_per_lang": """
+            SELECT lang, doc_id, n_chars, rn FROM (
+              SELECT lang, doc_id, n_chars,
+                     row_number() OVER (PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+              FROM documents
+            ) WHERE rn <= 3
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_revenue": """
+            SELECT c_mktsegment,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                            * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+                   COUNT(*) AS n_lineitems
+            FROM customer
+            JOIN orders ON c_custkey = o_custkey
+            JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY c_mktsegment
+        """,
+        "ngram_jaccard": """
+            WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 100),
+            sh AS (
+              SELECT DISTINCT doc_id, sh FROM (
+                SELECT doc_id,
+                       unnest([toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]
+                               for i in range(len(toks) - 2)]) AS sh
+                FROM d WHERE len(toks) >= 3
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.01
+        """,
+        "ann_cosine_topk": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_sum(list_apply(range(len(qv)),
+                              i -> CAST(embedding[i+1] AS DOUBLE) * qv[i+1]))
+                     / (sqrt(list_sum(list_apply(CAST(embedding AS DOUBLE[]), x -> x * x)))
+                        * sqrt(list_sum(list_apply(qv, x -> x * x)))) AS cos_sim
+              FROM embeddings CROSS JOIN q
+              WHERE vec_id <> 0
+            )
+            SELECT vec_id, round(cos_sim, 5) AS cos_sim
+            FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+    }

@@ -1,0 +1,105 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "triples_per_sec", "value": N, "unit": "sec", ...,
+   "queries": {name: seconds}, "sf": ...}
+
+Covers both execution paths of the engine:
+  - JVM path: mention extraction / pair-gen / KB join / aggregations /
+    windows over the driver testdata tables;
+  - pandas-UDF path: the full featurizing KG pipeline (lexer -> fused
+    candgen+featurize -> distant label) over the deterministic synthetic
+    source-code corpus.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import __spark_entry__ as entry
+    from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
+    from rex_spark.session import get_spark
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    spark = get_spark(
+        "rex-spark-bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    q = entry.queries()
+
+    bench_queries = [
+        "mentions",
+        "candidate_pairs",
+        "triples_distant",
+        "label_histogram",
+        "kb_dedupe",
+        "dedup_exact",
+        "token_stats",
+        "sessionize",
+        "topk_docs_per_lang",
+        "pricing_summary",
+        "segment_revenue",
+        "ngram_jaccard",
+        "ann_cosine_topk",
+    ]
+
+    # warm the JVM + parquet footers once (not timed)
+    q["mentions"](spark, sf_dir).count()
+
+    n_triples = 0
+    for name in bench_queries:
+        t0 = time.perf_counter()
+        df = q[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        if name == "triples_distant":
+            n_triples = n
+
+    # pandas-UDF KG pipeline over the synthetic corpus (scale ~ sf)
+    n_docs = {"0.001": 1000, "0.01": 4000, "0.1": 20000}.get(sf, 20000)
+    conf = CorpusConfig(n_docs=n_docs, n_entities=400, n_kb=800, n_repos=100, seed=42)
+    docs = corpus_df(spark, conf, partitions=cpus * 2)
+    kb = kb_df(spark, conf)
+    lex = make_lexicon(conf)
+    t0 = time.perf_counter()
+    triples = extract_triples_distant(docs, kb, lex, PipelineConfig())
+    n_kg = triples.count()
+    kg_sec = time.perf_counter() - t0
+    timings["kg_pipeline_featurized"] = round(kg_sec, 4)
+
+    # headline: end-to-end triple emission rate of the featurized pipeline
+    triples_per_sec = n_kg / kg_sec if kg_sec > 0 else 0.0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "triples_per_sec",
+                "value": round(triples_per_sec, 2),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "suite_seconds": total,
+                "kg_triples": n_kg,
+                "distant_triples_documents": n_triples,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

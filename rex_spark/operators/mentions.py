@@ -1,0 +1,83 @@
+"""JVM-native mention extraction and candidate-pair generation.
+
+The scale path of rex's SentenceCandGen (``CandGen.scala:12-32``) for the
+lexicon-NER case: when candidate endpoints are lexicon mentions and no
+feature bags are required (distant-labeling-only extraction), the whole
+candidate stage can run as Spark higher-order array functions — zero
+Python, zero shuffle, whole-stage codegen. The pandas-UDF path
+(operators/candidates.py) remains for featurized/learned extraction.
+
+Pair semantics match ``sentence_pairs_windowed``: ordered (q, a), q != a
+by position, |q - a| <= max_gap, enumeration order query-outer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _lex_array_sql(lexicon_words: list[str]) -> str:
+    quoted = ",".join("'" + w.replace("'", "\\'") + "'" for w in sorted(lexicon_words))
+    return f"array({quoted})"
+
+
+def extract_mentions(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str = " ",
+) -> DataFrame:
+    """-> (doc_id, pos, mention): lexicon tokens with their positions.
+    Narrow: split + posexplode + filter, all JVM-side."""
+    toks = F.split(F.col(text_col), split_pattern)
+    exploded = docs.select(
+        F.col(id_col).alias("doc_id"), F.posexplode(toks).alias("pos", "mention")
+    )
+    return exploded.where(F.col("mention").isin(lexicon_words))
+
+
+def mention_pairs(
+    docs: DataFrame,
+    lexicon_words: list[str],
+    max_gap: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str = " ",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """-> (doc_id, q_pos, a_pos, query_w, answer_w [, *carry]).
+
+    All pairs of lexicon mentions within ``max_gap`` positions inside a
+    document, generated via nested array transforms — per-row work only
+    (no self-join shuffle; mentions of a document are already co-located
+    in its token array).
+    """
+    carry_cols = carry_cols or []
+    lex = _lex_array_sql(lexicon_words)
+    with_ments = docs.select(
+        F.col(id_col).alias("doc_id"),
+        *[F.col(c) for c in carry_cols],
+        F.expr(
+            "filter("
+            f"  transform(split({text_col}, '{split_pattern}'),"
+            "             (t, i) -> struct(t as w, i as pos)),"
+            f" m -> array_contains({lex}, m.w))"
+        ).alias("_ments"),
+    )
+    pairs = with_ments.select(
+        "doc_id",
+        *carry_cols,
+        F.explode(
+            F.expr(
+                "flatten(transform(_ments, m1 ->"
+                "  transform("
+                f"    filter(_ments, m2 -> m2.pos <> m1.pos"
+                f"                     and abs(m2.pos - m1.pos) <= {int(max_gap)}),"
+                "    m2 -> struct(m1.pos as q_pos, m2.pos as a_pos,"
+                "                 m1.w as query_w, m2.w as answer_w))))"
+            )
+        ).alias("p"),
+    )
+    return pairs.select("doc_id", *carry_cols, "p.q_pos", "p.a_pos", "p.query_w", "p.answer_w")
