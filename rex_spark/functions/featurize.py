@@ -94,6 +94,7 @@ def featurize_sentence_candidate(
     inside_ngram: int | None = 2,
     inside_skip: int = 4,
     tags: Sequence[str] | None = None,
+    direction_feature: bool = False,
 ) -> dict[str, float]:
     """Feature bag for a same-sentence candidate under the app-default
     config: adjacent n-grams over lowercased punct-filtered tokens +
@@ -101,6 +102,12 @@ def featurize_sentence_candidate(
     CandidateFeatuerizer.scala:36-37, 238-254).
 
     Pass ``adjacent_width=None`` / ``inside_ngram=None`` to disable a side.
+
+    ``direction_feature`` (engine extension, off in reference-parity
+    mode): the reference feature space is SYMMETRIC in (q, a) — a pair
+    and its reverse get identical features, so no linear model can emit
+    directed triples from it. The engine adds one marker feature
+    ``dir:fwd``/``dir:rev`` to break the tie.
     """
     from .filters import no_known_punct, view_lowercase
 
@@ -118,6 +125,8 @@ def featurize_sentence_candidate(
                 tokens, keep, viewed, start_inner, end_inner, inside_ngram, inside_skip
             )
         )
+    if direction_feature:
+        feats.append("dir:fwd" if qi < ai else "dir:rev")
     return dict(Counter(feats))
 
 

@@ -44,6 +44,10 @@ class CandidateConfig:
     inside_skip: int = 4
     hash_space: int | None = DEFAULT_FEATURE_SPACE
     non_entity: str = "O"
+    # engine extension (see featurize.featurize_sentence_candidate):
+    # breaks the reference's q/a feature symmetry so directed triples
+    # are learnable. Off = exact reference feature space.
+    direction_feature: bool = True
 
 
 def _endpoint_keep(conf: CandidateConfig, tokens, tags, entities) -> list[bool]:
@@ -123,6 +127,7 @@ def generate_candidates(
                         inside_ngram=cf.inside_ngram,
                         inside_skip=cf.inside_skip,
                         tags=tags,
+                        direction_feature=cf.direction_feature,
                     )
                     cols["doc_id"].append(rd["doc_id"])
                     cols["sent_idx"].append(rd["sent_idx"])

@@ -1,0 +1,99 @@
+"""Evaluation: confusion-matrix aggregations and P/R/F1.
+
+rex ``MutableConfusionMatrix.scala`` is a mutable driver-side
+accumulator; the Spark form is a single hash aggregate with conditional
+sums. We use STANDARD cell definitions — the reference's eval loop
+swaps fn/fp in two branches (RelationExtractionLearningMain.scala:325-345),
+a documented deviation (SURVEY §2.7-E8).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NO_RELATION = "no_relation"
+
+
+@dataclass
+class Confusion:
+    tp: int = 0
+    fp: int = 0
+    tn: int = 0
+    fn: int = 0
+
+    # rex MutableConfusionMatrix.scala:75-105 arithmetic (golden-tested)
+    @property
+    def accuracy(self) -> float:
+        d = self.tp + self.fp + self.tn + self.fn
+        return (self.tp + self.tn) / d if d else 0.0
+
+    @property
+    def precision(self) -> float:
+        d = self.tp + self.fp
+        return self.tp / d if d else 0.0
+
+    @property
+    def recall(self) -> float:
+        d = self.tp + self.fn
+        return self.tp / d if d else 0.0
+
+    @property
+    def f1(self) -> float:
+        p, r = self.precision, self.recall
+        return 2 * p * r / (p + r) if (p + r) else 0.0
+
+
+def confusion_vs_none(
+    df: DataFrame,
+    label_col: str = "label",
+    pred_col: str = "pred",
+    negative: str = NO_RELATION,
+) -> Confusion:
+    """Detection-style confusion: positive = "some relation" with the
+    correct label required for tp (the reference eval's intent)."""
+    lab = F.col(label_col)
+    prd = F.col(pred_col)
+    agg = df.agg(
+        F.sum(F.when((lab != negative) & (prd == lab), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((lab == negative) & (prd != negative), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((lab == negative) & (prd == negative), 1).otherwise(0)).alias("tn"),
+        F.sum(
+            F.when((lab != negative) & ((prd == negative) | (prd != lab)), 1).otherwise(0)
+        ).alias("fn"),
+    ).collect()[0]
+    return Confusion(
+        tp=int(agg["tp"] or 0),
+        fp=int(agg["fp"] or 0),
+        tn=int(agg["tn"] or 0),
+        fn=int(agg["fn"] or 0),
+    )
+
+
+def per_label_metrics(
+    df: DataFrame, label_col: str = "label", pred_col: str = "pred"
+) -> DataFrame:
+    """One row per label: tp/fp/fn + precision/recall/f1 (micro metrics
+    derivable by summing)."""
+    lab, prd = F.col(label_col), F.col(pred_col)
+    tp = F.sum(F.when(prd == lab, 1).otherwise(0))
+    by_pred = df.groupBy(prd.alias("label")).agg(
+        F.count(F.lit(1)).alias("n_pred"), tp.alias("tp")
+    )
+    by_lab = df.groupBy(lab.alias("label")).agg(F.count(F.lit(1)).alias("n_true"))
+    j = by_lab.join(by_pred, "label", "full").fillna(0, ["n_pred", "tp", "n_true"])
+    prec = F.when(F.col("n_pred") > 0, F.col("tp") / F.col("n_pred")).otherwise(0.0)
+    rec = F.when(F.col("n_true") > 0, F.col("tp") / F.col("n_true")).otherwise(0.0)
+    return j.select(
+        "label",
+        F.col("tp").cast("bigint").alias("tp"),
+        (F.col("n_pred") - F.col("tp")).cast("bigint").alias("fp"),
+        (F.col("n_true") - F.col("tp")).cast("bigint").alias("fn"),
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec)).otherwise(0.0), 6
+        ).alias("f1"),
+    )

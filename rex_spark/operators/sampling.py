@@ -1,0 +1,80 @@
+"""Sampling, fold assignment and splits (E1-E5).
+
+All variants are DETERMINISTIC-BY-ROW-IDENTITY (murmur3 of key columns,
+not ``F.rand``): the same row lands in the same fold/sample on every
+run, partition layout, and resume — SURVEY §4.4 determinism discipline.
+Seeded ``F.rand`` equivalents are trivially available but are NOT used
+in the engine paths because rand() is assigned per task attempt order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+NO_RELATION = "no_relation"
+
+
+def _unit_hash(key_cols: list[str], seed: int):
+    """Deterministic uniform-ish value in [0, 1) from row identity."""
+    return (F.abs(F.hash(*key_cols, F.lit(seed))) % 1_000_003) / 1_000_003.0
+
+
+def negative_sample(
+    df: DataFrame,
+    p_keep_negative: float,
+    key_cols: list[str],
+    label_col: str = "label",
+    negative_label: str = NO_RELATION,
+    seed: int = 42,
+) -> DataFrame:
+    """Keep all positives + fraction ``p`` of negatives.
+    rex RelationExtractionLearningMain.scala:423-435 (E1)."""
+    u = _unit_hash(key_cols, seed)
+    return df.where((F.col(label_col) != negative_label) | (u < p_keep_negative))
+
+
+def assign_folds(df: DataFrame, n_folds: int, key_cols: list[str], seed: int = 42) -> DataFrame:
+    """Add a ``fold`` column in [0, n_folds). rex shuffleAssign/mkCrossValid
+    (app/package.scala:84-118, E4)."""
+    return df.withColumn(
+        "fold", (F.abs(F.hash(*key_cols, F.lit(seed))) % n_folds).cast("int")
+    )
+
+
+def cross_validation_splits(
+    df: DataFrame, n_folds: int, key_cols: list[str], seed: int = 42
+) -> list[tuple[DataFrame, DataFrame]]:
+    """[(train, test)] per fold. rex mkCrossValid (app/package.scala:84-102)."""
+    with_fold = assign_folds(df, n_folds, key_cols, seed)
+    return [
+        (with_fold.where(F.col("fold") != i), with_fold.where(F.col("fold") == i))
+        for i in range(n_folds)
+    ]
+
+
+def train_test_split(
+    df: DataFrame, proportion_train: float, key_cols: list[str], seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Bernoulli split (default 75/25 in the reference,
+    RelationExtractionLearningMain.scala:280-284, E5)."""
+    u = _unit_hash(key_cols, seed)
+    marked = df.withColumn("_is_train", u < proportion_train)
+    return (
+        marked.where("_is_train").drop("_is_train"),
+        marked.where("NOT _is_train").drop("_is_train"),
+    )
+
+
+def label_histogram(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """rex labelCount (RelationExtractionLearningMain.scala:386-396, E6)."""
+    return df.groupBy(label_col).agg(F.count(F.lit(1)).alias("n"))
+
+
+def relations_from_data(df: DataFrame, label_col: str = "label") -> list[str]:
+    """rex createRelations (:447-459, E7)."""
+    return sorted(
+        r[label_col]
+        for r in df.select(label_col).distinct().collect()
+        if r[label_col] != NO_RELATION
+    )

@@ -72,6 +72,57 @@ def extract_triples_distant(
     )
 
 
+def extract_triples_learned(
+    docs: DataFrame,
+    kb: DataFrame,
+    lexicon: dict[str, str],
+    conf: PipelineConfig | None = None,
+    model=None,
+    sample_cap: int = 200_000,
+    p_keep_negative: float = 1.0,
+):
+    """Learned extraction: distant labels supervise an OvR linear model
+    (rex learn_eval path, RelationExtractionLearningMain.scala:262-359);
+    every candidate is then scored by the broadcast weight matrix and
+    triples are emitted where the model predicts a relation.
+
+    Returns (triples_df, scored_df, model). ``scored_df`` keeps the
+    distant label next to ``pred`` for evaluation.
+    """
+    from ..operators.learn import NO_RELATION as NOREL
+    from ..operators.learn import score_candidates, train_ovr_linear
+    from ..operators.sampling import negative_sample
+
+    conf = conf or PipelineConfig()
+    cands = candidates(docs, lexicon, conf)
+    labeled = distant_label(cands, kb).persist()
+    key_cols = ["doc_id", "sent_idx", "q_idx", "a_idx"]
+    if model is None:
+        train_df = labeled
+        if p_keep_negative < 1.0:
+            train_df = negative_sample(labeled, p_keep_negative, key_cols)
+        model = train_ovr_linear(
+            train_df,
+            feature_space=conf.candidates.hash_space,
+            sample_cap=sample_cap,
+            key_cols=key_cols,
+        )
+    scored = score_candidates(labeled, model)
+    carry = [c for c in conf.carry_cols if c in scored.columns]
+    triples = scored.where(F.col("pred") != NOREL).select(
+        F.col("query_w").alias("subj"),
+        F.col("pred").alias("pred"),
+        F.col("answer_w").alias("obj"),
+        F.col("pred_score"),
+        "doc_id",
+        "sent_idx",
+        "q_idx",
+        "a_idx",
+        *carry,
+    )
+    return triples, scored, model
+
+
 def distinct_triples(triples: DataFrame) -> DataFrame:
     """The KG's distinct edge set (wide: one hash aggregate)."""
     return triples.select("subj", "pred", "obj").distinct()

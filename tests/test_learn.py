@@ -1,0 +1,110 @@
+"""Learning tests: memorization property, learned E2E P/R gate,
+confusion arithmetic, deterministic sampling."""
+
+import pytest
+
+from rex_spark.operators.evaluate import Confusion, confusion_vs_none, per_label_metrics
+from rex_spark.operators.learn import score_candidates, train_ovr_linear
+from rex_spark.operators.sampling import (
+    assign_folds,
+    negative_sample,
+    train_test_split,
+)
+from rex_spark.plans.pipeline import (
+    distinct_triples,
+    extract_triples_learned,
+    precision_recall,
+)
+from rex_spark.sources.corpus import (
+    CorpusConfig,
+    corpus_df,
+    golden_triples,
+    kb_df,
+    make_lexicon,
+)
+
+
+def test_confusion_arithmetic():
+    # rex MutableConfusionMatrixTest.scala:54-84
+    assert Confusion(1, 1, 1, 1).accuracy == 0.5
+    assert Confusion(tp=1, fp=3).precision == 0.25
+    assert Confusion(tp=1, fn=4).recall == 0.2
+    assert Confusion(tp=2, fp=1, fn=3).f1 == 0.5
+
+
+def test_memorization_property(spark):
+    # rex RelationLearnerTest.scala:17-29: a model trained on a small
+    # separable set reproduces its training labels.
+    from rex_spark.functions.featurize import featurize_sentence_candidate
+    from rex_spark.functions.hashing import hash_feature_bag
+
+    sents = [
+        (["Alice", "founded", "Acme", "."], 0, 2, "founder_of"),
+        (["Bob", "founded", "Initech", "."], 0, 2, "founder_of"),
+        (["Alice", "visited", "Paris", "."], 0, 2, "no_relation"),
+        (["Bob", "visited", "Rome", "."], 0, 2, "no_relation"),
+    ]
+    rows = []
+    for i, (toks, q, a, lab) in enumerate(sents):
+        bag = featurize_sentence_candidate(toks, q, a)
+        idx, val = hash_feature_bag(bag)
+        rows.append((str(i), 0, q, a, idx, val, lab))
+    df = spark.createDataFrame(
+        rows, "doc_id string, sent_idx int, q_idx int, a_idx int, "
+        "f_idx array<int>, f_val array<double>, label string"
+    )
+    model = train_ovr_linear(df, sample_cap=0)
+    scored = score_candidates(df, model)
+    got = {r["doc_id"]: r["pred"] for r in scored.collect()}
+    want = {str(i): lab for i, (_, _, _, lab) in enumerate(sents)}
+    assert got == want
+
+
+CONF = CorpusConfig(n_docs=150, n_entities=40, n_kb=60, n_repos=8, seed=7)
+
+
+def test_learned_pipeline_pr_gate(spark):
+    docs = corpus_df(spark, CONF, partitions=8)
+    kb = kb_df(spark, CONF)
+    lex = make_lexicon(CONF)
+    triples, scored, model = extract_triples_learned(docs, kb, lex, sample_cap=50_000)
+    emitted = {(r["subj"], r["pred"], r["obj"]) for r in distinct_triples(triples).collect()}
+    golden = golden_triples(CONF)
+    p, r, f1 = precision_recall(emitted, golden)
+    assert p >= 0.95 and r >= 0.95, f"P={p} R={r}"
+    # candidate-level agreement with distant labels: high but not perfect —
+    # the model correctly rejects distant-label noise (KB pairs co-occurring
+    # in non-relation contexts), which costs label-agreement, not triple P/R.
+    agree = confusion_vs_none(scored)
+    assert agree.f1 >= 0.85, vars(agree)
+
+
+def test_per_label_metrics(spark):
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("no_relation", "no_relation")],
+        ["label", "pred"],
+    )
+    m = {r["label"]: r for r in per_label_metrics(df).collect()}
+    assert m["a"]["tp"] == 1 and m["a"]["fn"] == 1 and m["a"]["fp"] == 0
+    assert m["b"]["fp"] == 1 and m["b"]["recall"] == 1.0
+
+
+def test_sampling_determinism(spark):
+    df = spark.createDataFrame([(i, "no_relation") for i in range(1000)], ["id", "label"])
+    a = {r["id"] for r in negative_sample(df, 0.3, ["id"]).collect()}
+    b = {r["id"] for r in negative_sample(df.repartition(7), 0.3, ["id"]).collect()}
+    assert a == b
+    assert 200 < len(a) < 400
+    tr, te = train_test_split(df, 0.75, ["id"])
+    assert tr.count() + te.count() == 1000
+    folds = assign_folds(df, 4, ["id"]).groupBy("fold").count().collect()
+    assert len(folds) == 4
+
+
+def test_positive_rows_always_kept(spark):
+    df = spark.createDataFrame(
+        [(i, "rel" if i % 10 == 0 else "no_relation") for i in range(1000)],
+        ["id", "label"],
+    )
+    kept = negative_sample(df, 0.1, ["id"])
+    assert kept.where("label = 'rel'").count() == 100
