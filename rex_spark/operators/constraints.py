@@ -1,0 +1,91 @@
+"""Constraint filtering: the engine's replacement for the thesis's
+probabilistic first-order logic inference (absent from the reference —
+``CandScore.scala`` is an empty placeholder).
+
+Two deterministic constraint families, both derived from the KB itself
+(no hand ontology needed):
+
+  - TYPE constraints: a relation only links entity types observed for
+    it in the KB (e.g. ``extends`` only CLASS->CLASS). Triples whose
+    endpoint types were never seen for the relation are dropped.
+  - FUNCTIONAL (arity) constraints: for relations that are functional
+    in the KB (every subject has exactly one object), keep only the
+    best-supported object per subject.
+
+Implemented as broadcast semi-joins + one window aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def derive_type_constraints(kb: DataFrame, type_map: DataFrame) -> DataFrame:
+    """(rel, subj_type, obj_type) combinations observed in the KB.
+    ``type_map``: (entity, etype)."""
+    st = type_map.select(F.col("entity").alias("subj"), F.col("etype").alias("subj_type"))
+    ot = type_map.select(F.col("entity").alias("obj"), F.col("etype").alias("obj_type"))
+    return (
+        kb.join(F.broadcast(st), "subj")
+        .join(F.broadcast(ot), "obj")
+        .select("rel", "subj_type", "obj_type")
+        .distinct()
+    )
+
+
+def apply_type_constraints(
+    triples: DataFrame, constraints: DataFrame, type_map: DataFrame
+) -> DataFrame:
+    """Keep triples whose (pred, subj_type, obj_type) is KB-licensed.
+    Unknown-type endpoints pass (constraints restrict, never invent)."""
+    st = type_map.select(F.col("entity").alias("subj"), F.col("etype").alias("subj_type"))
+    ot = type_map.select(F.col("entity").alias("obj"), F.col("etype").alias("obj_type"))
+    typed = triples.join(F.broadcast(st), "subj", "left").join(
+        F.broadcast(ot), "obj", "left"
+    )
+    lic = constraints.select(
+        F.col("rel").alias("pred"), "subj_type", "obj_type", F.lit(True).alias("_ok")
+    )
+    checked = typed.join(
+        F.broadcast(lic), ["pred", "subj_type", "obj_type"], "left"
+    )
+    return (
+        checked.where(
+            F.col("_ok").isNotNull()
+            | F.col("subj_type").isNull()
+            | F.col("obj_type").isNull()
+        )
+        .drop("_ok", "subj_type", "obj_type")
+    )
+
+
+def functional_relations(kb: DataFrame) -> list[str]:
+    """Relations where every KB subject has exactly one object."""
+    per_subj = kb.groupBy("rel", "subj").agg(F.countDistinct("obj").alias("n_obj"))
+    rows = (
+        per_subj.groupBy("rel")
+        .agg(F.max("n_obj").alias("max_obj"))
+        .where("max_obj = 1")
+        .collect()
+    )
+    return sorted(r["rel"] for r in rows)
+
+
+def apply_functional_constraint(
+    triples: DataFrame,
+    functional_rels: list[str],
+    support_col: str = "support",
+) -> DataFrame:
+    """For functional relations keep the single best-supported object per
+    (subj, pred); ties broken lexicographically (deterministic)."""
+    if not functional_rels:
+        return triples
+    w = Window.partitionBy("subj", "pred").orderBy(F.desc(support_col), F.asc("obj"))
+    func = (
+        triples.where(F.col("pred").isin(functional_rels))
+        .withColumn("_rn", F.row_number().over(w))
+        .where("_rn = 1")
+        .drop("_rn")
+    )
+    return triples.where(~F.col("pred").isin(functional_rels)).unionByName(func)

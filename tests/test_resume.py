@@ -1,0 +1,79 @@
+"""Resumability: kill-and-rerun produces byte-identical output; completed
+stages are skipped (north_rule resumable-from-checkpoint gate)."""
+
+import os
+import shutil
+
+import pytest
+
+from rex_spark.plans.materialize import materialize_kg
+from rex_spark.plans.pipeline import PipelineConfig
+from rex_spark.sources.catalog import (
+    read_manifest,
+    stage_is_complete,
+    table_checksum,
+    write_stage,
+)
+from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+CONF = CorpusConfig(n_docs=60, n_entities=30, n_kb=40, n_repos=5, seed=11)
+
+
+@pytest.fixture()
+def out_dir(tmp_path):
+    return str(tmp_path / "kg")
+
+
+def _inputs(spark):
+    docs = corpus_df(spark, CONF, partitions=4)
+    return docs, kb_df(spark, CONF), make_lexicon(CONF)
+
+
+def test_manifest_written_and_complete(spark, out_dir):
+    docs, kb, lex = _inputs(spark)
+    materialize_kg(spark, docs, kb, lex, out_dir, link_entities=False)
+    for stage in ("candidates", "labeled", "triples"):
+        p = os.path.join(out_dir, stage)
+        assert stage_is_complete(p, None) or read_manifest(p)["complete"]
+        m = read_manifest(p)
+        assert m["row_count"] > 0 and "checksum" in m and m["lineage"]
+
+
+def test_interrupted_run_resumes_identically(spark, out_dir):
+    docs, kb, lex = _inputs(spark)
+    final1 = materialize_kg(spark, docs, kb, lex, out_dir, link_entities=False)
+    checksum1 = table_checksum(final1)
+    trip_manifest1 = read_manifest(os.path.join(out_dir, "triples"))
+
+    # simulate a kill AFTER stage 1: wipe downstream stages only
+    shutil.rmtree(os.path.join(out_dir, "labeled"))
+    shutil.rmtree(os.path.join(out_dir, "triples"))
+    cand_manifest = read_manifest(os.path.join(out_dir, "candidates"))
+
+    final2 = materialize_kg(spark, docs, kb, lex, out_dir, link_entities=False)
+    # stage 1 was NOT recomputed (manifest object unchanged on disk)
+    assert read_manifest(os.path.join(out_dir, "candidates")) == cand_manifest
+    assert table_checksum(final2) == checksum1
+    assert read_manifest(os.path.join(out_dir, "triples"))["checksum"] == trip_manifest1["checksum"]
+
+
+def test_config_change_invalidates_checkpoint(spark, out_dir):
+    docs, kb, lex = _inputs(spark)
+    conf_a = PipelineConfig()
+    materialize_kg(spark, docs, kb, lex, out_dir, conf_a, link_entities=False)
+    m1 = read_manifest(os.path.join(out_dir, "candidates"))
+    conf_b = PipelineConfig()
+    conf_b.candidates.max_gap = 2  # different semantics -> stale checkpoints
+    materialize_kg(spark, docs, kb, lex, out_dir, conf_b, link_entities=False)
+    m2 = read_manifest(os.path.join(out_dir, "candidates"))
+    assert m1["config"] != m2["config"]
+
+
+def test_write_stage_partitioned(spark, out_dir):
+    df = spark.createDataFrame(
+        [("a", "calls", "b"), ("a", "imports", "c")], ["subj", "pred", "obj"]
+    )
+    m = write_stage(df, out_dir, "triples", partition_by=["pred"])
+    assert m["row_count"] == 2
+    assert sorted(os.listdir(out_dir))  # partition dirs exist
+    assert any(d.startswith("pred=") for d in os.listdir(out_dir))
