@@ -1,0 +1,254 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+No reference counterpart (rex is a KG extractor); these are the
+first-class data-curation ops a 100 TB corpus pipeline needs:
+
+  - exact_dedup: hash-groupBy on content digest (one shuffle on the
+    digest — uniformly distributed, skew-free by construction);
+  - minhash_lsh_candidates: shingle -> minhash signature (vectorized
+    numpy per Arrow batch) -> LSH banding -> bucket join. Only
+    documents sharing a band bucket ever meet, so the shuffle is
+    |docs| * n_bands rows, never |docs|^2;
+  - simhash_candidates: 64-bit simhash + Hamming-ball bucketing via
+    4-way block split (documents within distance k share >= 1 of k+1
+    blocks — pigeonhole);
+  - verify_jaccard: exact shingle-Jaccard verification join for LSH
+    candidates (precision pass after the recall pass).
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# deterministic minhash parameters
+_MERSENNE = (1 << 61) - 1
+
+
+def _hash_params(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng([seed, 99])
+    a = rng.integers(1, _MERSENNE, size=n, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, size=n, dtype=np.int64)
+    return a, b
+
+
+def shingle_set(text: str, k: int = 5) -> np.ndarray:
+    """crc32 hashes of character k-shingles (deterministic, fast)."""
+    if len(text) < k:
+        return np.array([zlib.crc32(text.encode("utf-8"))], dtype=np.int64)
+    enc = text.encode("utf-8", "ignore")
+    # byte-level shingles: stable and allocation-light
+    out = {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
+    return np.fromiter(out, dtype=np.int64, count=len(out))
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p minwise signature; vectorized over hash fns."""
+    # (n_hash, n_shingles) without overflow: use python-object fallback-free
+    # int64 math via modular multiply in float128-free way: do it in int64
+    # with numpy's wraparound avoided by using %_MERSENNE on int128 via
+    # object? Simpler: use np.uint64 arithmetic mod 2^61-1 in two steps.
+    x = shingles.astype(np.uint64)
+    sig = np.empty(len(a), dtype=np.int64)
+    for i in range(len(a)):
+        v = (x * np.uint64(a[i])) % np.uint64(_MERSENNE)
+        v = (v + np.uint64(b[i])) % np.uint64(_MERSENNE)
+        sig[i] = int(v.min())
+    return sig
+
+
+def exact_dedup(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """-> (fp, n_copies, keeper): md5 grouping, min-id keeper."""
+    return docs.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper")
+    )
+
+
+_SIG_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("band", T.IntegerType(), False),
+        T.StructField("bucket", T.LongType(), False),
+    ]
+)
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """-> (doc_a, doc_b) near-duplicate CANDIDATE pairs via LSH banding.
+
+    rows/bands tuned for ~0.6 Jaccard threshold at the defaults
+    (t ~ (1/b)^(1/r), r = n_hashes/n_bands = 4 -> t ~ 0.42).
+    """
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    a, b = _hash_params(n_hashes, seed)
+    spark = docs.sparkSession
+    bparams = spark.sparkContext.broadcast((a, b, n_bands, rows_per_band, shingle_k))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_, b_, nb, rpb, k = bparams.value
+        for pdf in batches:
+            ids, bands, buckets = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                sig = minhash_signature(shingle_set(str(text), k), a_, b_)
+                for band in range(nb):
+                    chunk = sig[band * rpb : (band + 1) * rpb]
+                    ids.append(str(doc_id))
+                    bands.append(band)
+                    buckets.append(
+                        zlib.crc32(chunk.tobytes() + band.to_bytes(2, "little"))
+                    )
+            yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
+
+    sigs = docs.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    pairs = (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def verify_jaccard(
+    pairs: DataFrame,
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+    min_jaccard: float = 0.6,
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs (the
+    precision pass). Joins the texts back (broadcast if small) and
+    computes Jaccard in an Arrow batch."""
+    da = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
+    db = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    joined = pairs.join(da, "doc_a").join(db, "doc_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(ta, tb):
+            sa = set(shingle_set(str(x), shingle_k).tolist())
+            sb = set(shingle_set(str(y), shingle_k).tolist())
+            u = len(sa | sb)
+            out.append(len(sa & sb) / u if u else 0.0)
+        return pd.Series(out)
+
+    return (
+        joined.withColumn("jaccard", F.round(jac("_ta", "_tb"), 6))
+        .where(F.col("jaccard") >= min_jaccard)
+        .drop("_ta", "_tb")
+    )
+
+
+def simhash64(text: str, k: int = 4) -> int:
+    """64-bit simhash over crc32-hashed k-shingles, two 32-bit halves."""
+    enc = text.encode("utf-8", "ignore")
+    if len(enc) < k:
+        grams = [enc]
+    else:
+        grams = [enc[i : i + k] for i in range(len(enc) - k + 1)]
+    acc = np.zeros(64, dtype=np.int64)
+    for g in grams:
+        h = (zlib.crc32(g) << 32) | zlib.crc32(b"\x01" + g)
+        bits = np.fromiter(((h >> i) & 1 for i in range(64)), dtype=np.int64, count=64)
+        acc += 2 * bits - 1
+    out = 0
+    for i in range(64):
+        if acc[i] > 0:
+            out |= 1 << i
+    return out - (1 << 63) if out >= (1 << 63) else out  # signed int64
+
+
+def simhash_candidates(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """-> (doc_a, doc_b, hamming) candidates within a Hamming ball.
+
+    Pigeonhole blocking: split the 64-bit simhash into ``max_hamming+1``
+    blocks; near-dups share at least one exact block. Verification
+    computes the true Hamming distance via JVM bit ops.
+    """
+    n_blocks = max_hamming + 1
+    spark = docs.sparkSession
+
+    @F.pandas_udf(T.LongType())
+    def sh(texts: pd.Series) -> pd.Series:
+        return pd.Series([simhash64(str(t)) for t in texts], dtype="int64")
+
+    hashed = docs.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("sim"))
+    width = 64 // n_blocks
+    blocks = None
+    for i in range(n_blocks):
+        piece = hashed.select(
+            "doc_id",
+            "sim",
+            F.lit(i).alias("block_no"),
+            F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(
+                F.lit((1 << width) - 1)
+            ).alias("block_val"),
+        )
+        blocks = piece if blocks is None else blocks.union(piece)
+    xx = blocks.alias("x")
+    yy = blocks.alias("y")
+    cand = (
+        xx.join(yy, ["block_no", "block_val"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(
+            F.col("x.doc_id").alias("doc_a"),
+            F.col("y.doc_id").alias("doc_b"),
+            F.bit_count(F.col("x.sim").bitwiseXOR(F.col("y.sim"))).alias("hamming"),
+        )
+        .distinct()
+    )
+    return cand.where(F.col("hamming") <= max_hamming)
+
+
+def embedding_neardup_candidates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    min_cosine: float = 0.95,
+    n_planes: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate detection on an embedding column: random-hyperplane
+    LSH bucket join + exact cosine verify (see similarity.py for search)."""
+    from .similarity import _cosine_pairs_exact, _hyperplane_buckets
+
+    buckets = _hyperplane_buckets(embeddings, id_col, vec_col, n_planes, seed)
+    xx = buckets.alias("x")
+    yy = buckets.alias("y")
+    cand = (
+        xx.join(yy, "bucket")
+        .where(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"), F.col(f"y.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    return _cosine_pairs_exact(cand, embeddings, id_col, vec_col, min_cosine)

@@ -1,0 +1,143 @@
+"""Multimodal column handling: binary payloads + typed metadata.
+
+Images/audio/video ride as opaque ``binary`` columns with a metadata
+struct; decode / feature-extraction / resize / frame-sampling run as
+``mapInPandas`` stages so each Arrow batch hands the worker a contiguous
+block of payloads (the only sane shape for 100 TB of media).
+
+The decode kernels are STUBBED in this environment (no image/audio
+libraries in the container): ``decode_image`` raises
+``NotImplementedError`` unless ``deterministic_fake=True``, which
+produces a seeded fake decode so the Spark-side plumbing — schema,
+batching, partitioning, UDF signatures — is real and tested end to end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import zlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_type", T.StringType(), True),  # image|audio|video
+        T.StructField("format", T.StringType(), True),  # png|jpeg|wav|mp4...
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def attach_media_meta(
+    docs: DataFrame, payload_col: str = "payload", meta: dict | None = None
+) -> DataFrame:
+    """Adds size/digest columns (JVM-side) for any binary payload column."""
+    c = F.col(payload_col)
+    return docs.select(
+        "*",
+        F.length(c).cast("bigint").alias("payload_bytes"),
+        F.sha2(c, 256).alias("payload_sha256"),
+        F.crc32(c).alias("payload_crc32"),
+    )
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """STUB: image decode. Real deployments plug Pillow/turbojpeg here;
+    this container has neither, so only the deterministic fake path
+    exists (seeded from the payload digest -> stable 16x16x3 array)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; pass deterministic_fake=True for plumbing tests"
+        )
+    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+
+
+_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+    ]
+)
+
+
+def image_features(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """payload -> small feature vector (channel means/stds of the decoded
+    image). Arrow-batched; decode stub per module docstring."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, feats, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                img = decode_image(raw, deterministic_fake=deterministic_fake)
+                arr = img.astype(np.float32)
+                feat = np.concatenate(
+                    [arr.mean(axis=(0, 1)) / 255.0, arr.std(axis=(0, 1)) / 255.0]
+                )
+                ids.append(str(doc_id))
+                feats.append(feat.astype(np.float32).tolist())
+                digests.append(hashlib.sha256(raw).hexdigest())
+            yield pd.DataFrame(
+                {"doc_id": ids, "feature": feats, "payload_sha256": digests}
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(fn, _FEAT_SCHEMA)
+
+
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("frame_sha256", T.StringType(), False),
+    ]
+)
+
+
+def sample_frames(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    every_n: int = 4,
+    n_frames: int = 16,
+) -> DataFrame:
+    """Frame sampling plumbing: deterministic frame selection over a fake
+    frame sequence derived from the payload (real decoder plugs in the
+    same signature). One output row per sampled frame."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, digests = [], [], []
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                total = n_frames  # stub: real decoder reports frame count
+                for fi in range(0, total, every_n):
+                    ids.append(str(doc_id))
+                    idxs.append(fi)
+                    digests.append(
+                        hashlib.sha256(raw + fi.to_bytes(4, "little")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_sha256": digests}
+            )
+
+    return docs.select(id_col, payload_col).mapInPandas(fn, _FRAME_SCHEMA)

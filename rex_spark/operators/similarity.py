@@ -1,0 +1,181 @@
+"""Similarity search over embedding columns.
+
+  - brute_force_topk: exact cosine top-k of query vectors against the
+    corpus — broadcast the (small) query set, one pass over the corpus,
+    per-partition top-k then global top-k (no full sort);
+  - hyperplane LSH bucketing: the scale path — random-hyperplane signs
+    bucket the corpus; candidates share a bucket, exact cosine verifies.
+    At 100 TB the bucket join replaces the all-pairs cross join with a
+    shuffle linear in corpus size * n_tables.
+
+All vector math runs vectorized (numpy over Arrow batches) or JVM-side.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _as_matrix(series: pd.Series) -> np.ndarray:
+    return np.vstack([np.asarray(v, dtype=np.float64) for v in series])
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vecs: list[tuple],  # [(query_id, [floats])]
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """-> (query_id, vec_id, cos_sim, rank) exact top-k per query."""
+    spark = embeddings.sparkSession
+    qids = [q for q, _ in query_vecs]
+    Q = np.vstack([np.asarray(v, dtype=np.float64) for _, v in query_vecs])
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = spark.sparkContext.broadcast((qids, Qn))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.StringType(), False),
+            T.StructField(id_col, T.LongType(), False),
+            T.StructField("cos_sim", T.DoubleType(), False),
+        ]
+    )
+
+    def fn(batches):
+        qids_, Qn_ = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _as_matrix(pdf[vec_col])
+            M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            sims = M @ Qn_.T  # (n, nq)
+            frames = []
+            for j, qid in enumerate(qids_):
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": str(qid),
+                            id_col: pdf[id_col].values,
+                            "cos_sim": sims[:, j],
+                        }
+                    )
+                )
+            yield pd.concat(frames)
+
+    scored = embeddings.select(id_col, vec_col).mapInPandas(fn, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .withColumn("cos_sim", F.round("cos_sim", 6))
+    )
+
+
+_BUCKET_SCHEMA_FIELDS = [T.StructField("bucket", T.LongType(), False)]
+
+
+def _hyperplane_buckets(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    seed: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """-> (id, bucket): sign pattern of random hyperplane projections."""
+    spark = embeddings.sparkSession
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    rng = np.random.default_rng([seed, 1234])
+    planes = rng.standard_normal((dim, n_planes))
+    bp = spark.sparkContext.broadcast(planes)
+
+    id_field = [f for f in embeddings.schema.fields if f.name == id_col]
+    schema = T.StructType(id_field + _BUCKET_SCHEMA_FIELDS)
+
+    def fn(batches):
+        P = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _as_matrix(pdf[vec_col])
+            signs = (M @ P) > 0  # (n, n_planes)
+            bucket = np.zeros(len(M), dtype=np.int64)
+            for j in range(signs.shape[1]):
+                bucket |= signs[:, j].astype(np.int64) << j
+            yield pd.DataFrame({id_col: pdf[id_col].values, "bucket": bucket})
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def _cosine_pairs_exact(
+    pairs: DataFrame,
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    min_cosine: float,
+) -> DataFrame:
+    ea = embeddings.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    eb = embeddings.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    joined = pairs.join(ea, "id_a").join(eb, "id_b")
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = _as_matrix(va)
+        B = _as_matrix(vb)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-12))
+
+    return (
+        joined.withColumn("cos_sim", F.round(cos("_va", "_vb"), 6))
+        .where(F.col("cos_sim") >= min_cosine)
+        .drop("_va", "_vb")
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    query_vecs: list[tuple],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: union of ``n_tables`` hyperplane-bucket probes,
+    exact cosine on the candidate union. Recall grows with n_tables."""
+    spark = embeddings.sparkSession
+    qdf = spark.createDataFrame(
+        [(str(q), [float(x) for x in v]) for q, v in query_vecs],
+        f"query_id string, {vec_col} array<double>",
+    )
+    cand = None
+    for t in range(n_tables):
+        cb = _hyperplane_buckets(embeddings, id_col, vec_col, n_planes, seed + t)
+        qb = _hyperplane_buckets(qdf, "query_id", vec_col, n_planes, seed + t)
+        c = qb.join(cb, "bucket").select("query_id", id_col)
+        cand = c if cand is None else cand.union(c)
+    cand = cand.distinct()
+
+    ea = embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
+    joined = cand.join(ea, id_col).join(F.broadcast(qdf.withColumnRenamed(vec_col, "_q")), "query_id")
+
+    @F.pandas_udf(T.DoubleType())
+    def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        A = _as_matrix(va)
+        B = _as_matrix(vb)
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        return pd.Series(num / np.maximum(den, 1e-12))
+
+    scored = joined.withColumn("cos_sim", F.round(cos("_v", "_q"), 6)).drop("_v", "_q")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -1,0 +1,149 @@
+"""Text analysis for training-data curation: language ID, quality
+scoring, token counting, document fingerprinting.
+
+All JVM-side Column expressions where possible; the language-ID n-gram
+scorer is a vectorized pandas UDF with a broadcast profile table.
+"""
+
+from __future__ import annotations
+
+import re
+import zlib
+from collections import Counter
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# --- token counting -------------------------------------------------------
+
+# BPE-ish pre-tokenization: word pieces, numbers, or single symbols —
+# approximates subword token counts well enough for budget estimation.
+_BPE_RE = r"[A-Za-z]+|[0-9]{1,3}|[^A-Za-z0-9\s]"
+
+
+def token_count_cols(text_col: str = "content") -> list[Column]:
+    c = F.col(text_col)
+    ws = F.size(F.split(F.trim(c), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(c, F.lit(_BPE_RE), 0))
+    return [
+        ws.cast("bigint").alias("n_ws_tokens"),
+        bpe.cast("bigint").alias("n_bpe_tokens"),
+        F.length(c).cast("bigint").alias("n_chars"),
+    ]
+
+
+# --- quality scoring ------------------------------------------------------
+
+_STOPWORDS = (
+    "the a an and or of to in is are was for on with as at by it this that "
+    "be from def class return import if else for while"
+).split()
+
+
+def quality_cols(text_col: str = "content") -> list[Column]:
+    """Length / punctuation / stopword / repetition heuristics (the
+    standard quality filters of web-scale corpus pipelines)."""
+    c = F.col(text_col)
+    toks = F.split(F.lower(F.trim(c)), r"\s+")
+    n = F.size(toks).cast("double")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*_STOPWORDS))).cast("double")
+    punct = (
+        F.length(c) - F.length(F.regexp_replace(c, r"[^\w\s]", ""))
+    ).cast("double")
+    uniq = F.size(F.array_distinct(toks)).cast("double")
+    return [
+        F.round(stop / F.greatest(n, F.lit(1.0)), 6).alias("stopword_ratio"),
+        F.round(punct / F.greatest(F.length(c).cast("double"), F.lit(1.0)), 6).alias(
+            "punct_ratio"
+        ),
+        F.round(uniq / F.greatest(n, F.lit(1.0)), 6).alias("distinct_token_ratio"),
+        F.round(F.length(c).cast("double") / F.greatest(n, F.lit(1.0)), 6).alias(
+            "chars_per_token"
+        ),
+    ]
+
+
+def quality_score(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """Adds quality columns + a single [0,1] composite score."""
+    out = docs.select("*", *quality_cols(text_col), *token_count_cols(text_col))
+    score = (
+        F.lit(1.0)
+        - F.least(F.lit(1.0), F.abs(F.col("stopword_ratio") - 0.08) * 4)
+        * F.lit(0.25)
+        - F.least(F.lit(1.0), F.col("punct_ratio") * 2) * F.lit(0.25)
+        - F.least(
+            F.lit(1.0), F.abs(F.col("chars_per_token") - 5.5) / 10
+        )
+        * F.lit(0.25)
+        - (F.lit(1.0) - F.col("distinct_token_ratio")) * F.lit(0.25)
+    )
+    return out.withColumn("quality", F.round(F.greatest(score, F.lit(0.0)), 6))
+
+
+# --- fingerprinting -------------------------------------------------------
+
+def fingerprint_cols(text_col: str = "content") -> list[Column]:
+    """Exact digest + shift-invariant rolling-hash fingerprint (min of
+    crc32 over 8-grams via JVM expr)."""
+    c = F.col(text_col)
+    rolling_min = F.expr(
+        f"array_min(transform(sequence(0, greatest(length({text_col}) - 8, 0)),"
+        f" i -> crc32(cast(substring({text_col}, i + 1, 8) as binary))))"
+    )
+    return [
+        F.sha2(c, 256).alias("sha256"),
+        F.md5(c).alias("md5"),
+        rolling_min.cast("bigint").alias("rolling_fp"),
+    ]
+
+
+# --- language identification ---------------------------------------------
+
+# compact char-trigram profiles per language (deterministic, embedded;
+# a real deployment would load fasttext profiles — same plumbing)
+_LANG_PROFILES = {
+    "en": [" th", "the", "he ", " an", "and", "nd ", "ing", " of", "of ", " to"],
+    "de": ["en ", "er ", " de", "der", "ie ", "ch ", "sch", "ein", "die", " un"],
+    "fr": [" de", "es ", "de ", " le", "le ", "ent", " la", "la ", "ion", "re "],
+    "es": [" de", "de ", "os ", " la", "la ", "el ", " el", "ión", "es ", "ar "],
+    "code": ["() ", " = ", "def", "== ", "();", " if", "for", "ret", "imp", "{\n "],
+}
+
+
+def detect_language(
+    docs: DataFrame, text_col: str = "content", out_col: str = "lang_pred"
+) -> DataFrame:
+    """N-gram-profile language ID (vectorized pandas UDF, broadcast
+    profiles). Deterministic ties broken alphabetically."""
+    spark = docs.sparkSession
+    bprof = spark.sparkContext.broadcast(_LANG_PROFILES)
+
+    @F.pandas_udf(T.StringType())
+    def lid(texts: pd.Series) -> pd.Series:
+        profiles = bprof.value
+        out = []
+        for t in texts:
+            s = str(t)[:2000].lower()
+            grams = Counter(s[i : i + 3] for i in range(max(len(s) - 2, 1)))
+            best_lang, best_score = "unknown", 0.0
+            for lang in sorted(profiles):
+                score = sum(grams.get(g, 0) for g in profiles[lang])
+                score /= max(sum(grams.values()), 1)
+                if score > best_score:
+                    best_lang, best_score = lang, score
+            out.append(best_lang if best_score > 0 else "unknown")
+        return pd.Series(out)
+
+    return docs.withColumn(out_col, lid(F.col(text_col)))
+
+
+def document_fingerprint(text: str, window: int = 8) -> int:
+    """Pure-Python twin of the rolling_fp column (for tests)."""
+    if len(text) <= window:
+        return zlib.crc32(text.encode("utf-8"))
+    return min(
+        zlib.crc32(text[i : i + window].encode("utf-8"))
+        for i in range(len(text) - window + 1)
+    )

@@ -1,0 +1,167 @@
+"""UIUC labeled-relation corpus reader.
+
+rex ``io/UiucRelationFmt.scala``: blocks of 9-field token lines, a blank
+line, 3-field relation lines, a blank line. Two implementations:
+
+  - ``parse_lines`` — pure-Python state machine, exact semantics parity
+    (golden: UiucRelationFmtTest.scala:98-196); used in tests and inside
+    the distributed reader's per-block parse.
+  - ``read_uiuc`` — distributed: ``spark.read.text`` preserving line
+    order per file, block-id assignment by cumulative sum of blank-line
+    PAIRS over a per-file window (the S1/S5 sessionization mapping),
+    then per-block assembly. Line order inside a file is recovered via
+    a monotonic id, which is safe because each input file is one split
+    here; at true scale prefer many small corpus files (one block
+    family per file) or the mapInPandas whole-file parse.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+@dataclass(frozen=True)
+class RelationLine:
+    arg1: int
+    arg2: int
+    relation: str
+
+
+def clean_word(word: str) -> str:
+    """rex UiucRelationFmt.cleanWord (:156-160)."""
+    return word.replace("/,/", ", ").replace("/", " ")
+
+
+def parse_line(line: str):
+    """-> None (break) | ('tok', ne, idx, pos, word) | ('rel', a1, a2, rel).
+    rex parseLine (:68-96) — 9 fields = token, 3 = relation, else error."""
+    if line == "":
+        return None
+    bits = line.split("\t")
+    if len(bits) == 9:
+        return ("tok", bits[1], int(bits[2]), bits[4], bits[5])
+    if len(bits) == 3:
+        return ("rel", int(bits[0]), int(bits[1]), bits[2])
+    raise ValueError(
+        f"Expecting either 3 or 9 tab-separated parts, not {len(bits)}. "
+        f'Offending line: "{line}"'
+    )
+
+
+def parse_lines(lines) -> list[tuple[dict, list[RelationLine]]]:
+    """Pure state machine. rex labeledSentencesFromLines (:98-144): the
+    first break ends the token lines, the second ends the relations and
+    emits the labeled sentence; a trailing unterminated block is emitted
+    iff it has both tokens and relations (:136-141)."""
+    out = []
+    tokens: list[tuple] = []
+    relations: list[RelationLine] = []
+    seen_break = False
+
+    def emit():
+        toks = [clean_word(t[4]) for t in tokens]
+        tags = [t[3] for t in tokens]
+        ents = [t[1] for t in tokens]
+        out.append(
+            ({"tokens": toks, "tags": tags, "entities": ents}, list(relations))
+        )
+
+    for raw in lines:
+        parsed = parse_line(raw)
+        if parsed is None:
+            if seen_break:
+                emit()
+                tokens.clear()
+                relations.clear()
+                seen_break = False
+            else:
+                seen_break = True
+        elif parsed[0] == "tok":
+            tokens.append(parsed)
+        else:
+            relations.append(RelationLine(parsed[1], parsed[2], parsed[3]))
+    if tokens and relations:
+        emit()
+    return out
+
+
+UIUC_SCHEMA = T.StructType(
+    [
+        T.StructField("file", T.StringType(), False),
+        T.StructField("block_id", T.LongType(), False),
+        T.StructField("tokens", T.ArrayType(T.StringType()), False),
+        T.StructField("tags", T.ArrayType(T.StringType()), False),
+        T.StructField("entities", T.ArrayType(T.StringType()), False),
+        T.StructField(
+            "relations",
+            T.ArrayType(
+                T.StructType(
+                    [
+                        T.StructField("arg1", T.IntegerType(), False),
+                        T.StructField("arg2", T.IntegerType(), False),
+                        T.StructField("rel", T.StringType(), False),
+                    ]
+                )
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
+    """Distributed reader: one row per labeled sentence."""
+    import pandas as pd
+
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("file"),
+            F.monotonically_increasing_id().alias("line_id"),
+            F.col("value"),
+        )
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = {k: [] for k in ("file", "block_id", "tokens", "tags", "entities", "relations")}
+        fname = pdf["file"].iloc[0]
+        lines = pdf.sort_values("line_id")["value"].tolist()
+        for bid, (sent, rels) in enumerate(parse_lines(lines)):
+            rows["file"].append(fname)
+            rows["block_id"].append(bid)
+            rows["tokens"].append(sent["tokens"])
+            rows["tags"].append(sent["tags"])
+            rows["entities"].append(sent["entities"])
+            rows["relations"].append([(r.arg1, r.arg2, r.relation) for r in rels])
+        return pd.DataFrame(rows)
+
+    # groupBy(file).applyInPandas guarantees each file parses WHOLE (an
+    # arrow-batch-safe grouping, unlike mapInPandas batch boundaries)
+    return raw.groupBy("file").applyInPandas(fn, UIUC_SCHEMA)
+
+
+def training_pairs_from_uiuc(sentences: DataFrame) -> DataFrame:
+    """E2/E3 analog: explode gold relations into labeled candidate rows
+    (anti-join of generated candidates happens downstream via
+    sampling.negative_sample on the distant-labeled stream)."""
+    return sentences.select(
+        "file",
+        "block_id",
+        "tokens",
+        "tags",
+        "entities",
+        F.explode("relations").alias("r"),
+    ).select(
+        "file",
+        "block_id",
+        "tokens",
+        "tags",
+        "entities",
+        F.col("r.arg1").alias("q_idx"),
+        F.col("r.arg2").alias("a_idx"),
+        F.col("r.rel").alias("label"),
+    )

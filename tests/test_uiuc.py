@@ -1,0 +1,162 @@
+"""UIUC reader golden tests (rex UiucRelationFmtTest.scala:98-196)."""
+
+import pytest
+
+from rex_spark.functions.filters import detokenize
+from rex_spark.sources.uiuc import (
+    RelationLine,
+    clean_word,
+    parse_line,
+    parse_lines,
+    read_uiuc,
+    training_pairs_from_uiuc,
+)
+
+# rex UiucRelationFmtTest.scala:98-175 — embedded 3-sentence corpus.
+EXAMPLE = "\n".join(
+    [
+        "O\tO\t0\tO\tIN\tIn\tNOFUNC\tx\tO",
+        "O\tO\t1\tNP\tCD\t1969\tNOFUNC\tx\tO",
+        "O\tO\t2\tO\t,\t,\tNOFUNC\tx\tO",
+        "Arg1\tB-Peop\t3\tNP\tNNP/NNP/NNP\tJames/Earl/Ray\tNOFUNC\tx\tO",
+        "O\tO\t4\tO\tVBD\tpleaded\tNOFUNC\tx\tO",
+        "O\tO\t5\tO\tJJ\tguilty\tNOFUNC\tx\tO",
+        "O\tO\t6\tO\tIN\tin\tNOFUNC\tx\tO",
+        "O\tB-Loc\t7\tNP\tNNP/,/NNP\tMemphis/,/Tenn.\tNOFUNC\tx\tO",
+        "O\tO\t8\tO\t,\t,\tNOFUNC\tx\tO",
+        "O\tO\t9\tO\tTO\tto\tNOFUNC\tx\tO",
+        "O\tO\t10\tNP\tDT\tthe\tNOFUNC\tx\tO",
+        "O\tO\t11\tNP\tNN\tassassination\tNOFUNC\tx\tO",
+        "O\tO\t12\tO\tIN\tof\tNOFUNC\tx\tO",
+        "O\tO\t13\tNP\tJJ\tcivil\tNOFUNC\tx\tO",
+        "O\tO\t14\tNP\tNNS\trights\tNOFUNC\tx\tO",
+        "O\tO\t15\tNP\tNN\tleader\tNOFUNC\tx\tO",
+        "Arg2\tB-Peop\t16\tNP\tNNP/NNP/NNP/NNP\tMartin/Luther/King/Junior\tNOFUNC\tx\tO",
+        "O\tO\t17\tO\t.\t.\tNOFUNC\tx\tO",
+        "",
+        "3\t16\tkill",
+        "",
+        "O\tO\t0\tNP\tDT\tThe\tNOFUNC\tx\tO",
+        "O\tB-Unknown\t1\tNP\tNNP/NNP\tWarren/Commission\tNOFUNC\tx\tO",
+        "O\tO\t2\tO\tVBD\tdetermined\tNOFUNC\tx\tO",
+        "O\tO\t3\tO\tIN\tthat\tNOFUNC\tx\tO",
+        "Arg1\tB-Peop\t4\tNP\tNNP/NNP/NNP\tLee/Harvey/Oswald\tNOFUNC\tx\tO",
+        "O\tO\t5\tO\tVBD\tfired\tNOFUNC\tx\tO",
+        "O\tO\t6\tNP\tDT\ta\tNOFUNC\tx\tO",
+        "O\tO\t7\tNP\tJJ\thigh-powered\tNOFUNC\tx\tO",
+        "O\tO\t8\tNP\tNN\trifle\tNOFUNC\tx\tO",
+        "O\tO\t9\tO\tIN\tat\tNOFUNC\tx\tO",
+        "Arg2\tB-Peop\t10\tNP\tNNP\tKennedy\tNOFUNC\tx\tO",
+        "O\tO\t11\tO\tIN\tfrom\tNOFUNC\tx\tO",
+        "O\tO\t12\tNP\tDT\tthe\tNOFUNC\tx\tO",
+        "O\tO\t13\tNP\tJJ\tsixth\tNOFUNC\tx\tO",
+        "O\tO\t14\tNP\tNN\tfloor\tNOFUNC\tx\tO",
+        "O\tO\t15\tO\tIN\tof\tNOFUNC\tx\tO",
+        "O\tO\t16\tNP\tDT\tthe\tNOFUNC\tx\tO",
+        "O\tO\t17\tNP\tNN\tbuilding\tNOFUNC\tx\tO",
+        "O\tO\t18\tO\tWRB\twhere\tNOFUNC\tx\tO",
+        "O\tO\t19\tNP\tPRP\the\tNOFUNC\tx\tO",
+        "O\tO\t20\tO\tVBD\tworked\tNOFUNC\tx\tO",
+        "O\tO\t21\tO\tIN\ton\tNOFUNC\tx\tO",
+        "O\tB-Unknown\t22\tNP\tNNP\tNov.\tNOFUNC\tx\tO",
+        "O\tO\t23\tNP\tCD\t22\tNOFUNC\tx\tO",
+        "O\tO\t24\tNP\t,\t,\tNOFUNC\tx\tO",
+        "O\tO\t25\tNP\tCD\t1963\tNOFUNC\tx\tO",
+        "O\tO\t26\tO\t.\t.\tNOFUNC\tx\tO",
+        "",
+        "4\t10\tkill",
+        "",
+        "Arg1\tB-Peop\t0\tNP\tNNP/NNP\tLeroy/Ivy\tNOFUNC\tx\tO",
+        "O\tO\t1\tO\tIN\tof\tNOFUNC\tx\tO",
+        "O\tB-Loc\t2\tNP\tNNP\tOxford\tNOFUNC\tx\tO",
+        "O\tO\t3\tO\tCC\tand\tNOFUNC\tx\tO",
+        "O\tO\t4\tNP\tPP$\this\tNOFUNC\tx\tO",
+        "O\tO\t5\tNP\tNN\tbrother\tNOFUNC\tx\tO",
+        "Arg1\tB-Peop\t6\tNP\tNNP/NNP/NNP\tJohn/Henry/Ivy\tNOFUNC\tx\tO",
+        "O\tO\t7\tO\tIN\tof\tNOFUNC\tx\tO",
+        "O\tB-Loc\t8\tNP\tNNP\tTupelo\tNOFUNC\tx\tO",
+        "O\tO\t9\tO\tVBD\twere\tNOFUNC\tx\tO",
+        "O\tO\t10\tO\tVBN\tindicted\tNOFUNC\tx\tO",
+        "O\tO\t11\tNP\tDT\tthis\tNOFUNC\tx\tO",
+        "O\tO\t12\tNP\tNN\tmonth\tNOFUNC\tx\tO",
+        "O\tO\t13\tO\tIN\ton\tNOFUNC\tx\tO",
+        "O\tO\t14\tNP\tDT\ta\tNOFUNC\tx\tO",
+        "O\tO\t15\tNP\tNN\tcharge\tNOFUNC\tx\tO",
+        "O\tO\t16\tO\tIN\tof\tNOFUNC\tx\tO",
+        "O\tO\t17\tNP\tNN\tconspiracy\tNOFUNC\tx\tO",
+        "O\tO\t18\tO\tTO\tto\tNOFUNC\tx\tO",
+        "O\tO\t19\tNP\tNN\tmurder\tNOFUNC\tx\tO",
+        "Arg2\tB-Peop\t20\tNP\tNNP/NNP/NNP/NNP/NNP/NNP/NNP\t"
+        "Lee/County/Circuit/Judge/Thomas/Gardner/III.\tNOFUNC\tx\tO",
+        "",
+        "1\t20\tkill",
+        "6\t20\tkill",
+        "",
+    ]
+)
+
+EXPECTED = [
+    (
+        "In 1969, James Earl Ray pleaded guilty in Memphis, Tenn., to the assassination"
+        " of civil rights leader Martin Luther King Junior.",
+        18,
+        [RelationLine(3, 16, "kill")],
+    ),
+    (
+        "The Warren Commission determined that Lee Harvey Oswald fired a high-powered rifle"
+        " at Kennedy from the sixth floor of the building where he worked on Nov. 22, 1963.",
+        27,
+        [RelationLine(4, 10, "kill")],
+    ),
+    (
+        "Leroy Ivy of Oxford and his brother John Henry Ivy of Tupelo were indicted this"
+        " month on a charge of conspiracy to murder Lee County Circuit Judge Thomas Gardner III.",
+        21,
+        [RelationLine(1, 20, "kill"), RelationLine(6, 20, "kill")],
+    ),
+]
+
+
+def test_parse_example_golden():
+    parsed = parse_lines(EXAMPLE.split("\n"))
+    assert len(parsed) == len(EXPECTED)
+    for (sent, rels), (etext, elen, erels) in zip(parsed, EXPECTED):
+        assert len(sent["tokens"]) == elen
+        assert detokenize(sent["tokens"]) == etext
+        assert rels == erels
+
+
+def test_parse_invalid_raises():
+    with pytest.raises(ValueError):
+        parse_lines(["invalid format", "should\tnot\twork"])
+
+
+def test_parse_empty():
+    assert parse_lines([]) == []
+    assert parse_lines([""]) == []
+
+
+def test_clean_word():
+    assert clean_word("Memphis/,/Tenn.") == "Memphis, Tenn."
+    assert clean_word("James/Earl/Ray") == "James Earl Ray"
+
+
+def test_parse_line_types():
+    assert parse_line("") is None
+    assert parse_line("3\t16\tkill") == ("rel", 3, 16, "kill")
+    tok = parse_line("O\tB-Loc\t7\tNP\tNNP\tMemphis\tNOFUNC\tx\tO")
+    assert tok == ("tok", "B-Loc", 7, "NNP", "Memphis")
+
+
+def test_read_uiuc_spark(spark, tmp_path):
+    p = tmp_path / "corpus.txt"
+    p.write_text(EXAMPLE)
+    df = read_uiuc(spark, str(p))
+    rows = sorted(
+        ((r["block_id"], detokenize(r["tokens"]), len(r["relations"])) for r in df.collect())
+    )
+    assert [(b, t) for b, t, _ in rows] == [(i, e[0]) for i, e in enumerate(EXPECTED)]
+    assert [n for _, _, n in rows] == [1, 1, 2]
+    pairs = training_pairs_from_uiuc(df)
+    got = {(r["block_id"], r["q_idx"], r["a_idx"], r["label"]) for r in pairs.collect()}
+    assert got == {(0, 3, 16, "kill"), (1, 4, 10, "kill"), (2, 1, 20, "kill"), (2, 6, 20, "kill")}
