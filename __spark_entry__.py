@@ -331,6 +331,68 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rex_spark.operators.textstats import quality_cols
+
+    d = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    return d.select(F.col("doc_id"), *quality_cols("content"))
+
+
+def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Real iterative min-label propagation over the customer--nation
+    # bipartite graph; the oracle derives the same components in closed
+    # form (component == nation; label == least(n_name, min c_name)).
+    from rex_spark.operators.linking import connected_components
+
+    c = _tbl(spark, sf_dir, "customer")
+    n = _tbl(spark, sf_dir, "nation")
+    edges = c.join(n, c["c_nationkey"] == n["n_nationkey"]).select(
+        F.col("c_name").alias("ma"), F.col("n_name").alias("mb")
+    )
+    return connected_components(edges).select("node", "comp")
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (MinHash banding is not SQL-expressible): LSH
+    # candidates + exact-Jaccard verification over the documents table.
+    from rex_spark.operators.dedup import minhash_lsh_candidates, verify_jaccard
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    cand = minhash_lsh_candidates(d, n_hashes=64, n_bands=16)
+    return verify_jaccard(cand, d, min_jaccard=0.2).select("doc_a", "doc_b", "jaccard")
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rex_spark.operators.dedup import simhash_candidates
+
+    d = _docs(spark, sf_dir).where("doc_id < 200").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    return simhash_candidates(d, max_hamming=10)
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rex_spark.operators.textstats import detect_language
+
+    d = _docs(spark, sf_dir)
+    return detect_language(d, text_col="text").groupBy("lang_pred").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # approximate ANN (rows-only; recall is probabilistic by design)
+    from rex_spark.operators.similarity import lsh_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    return lsh_topk(emb, [("q0", list(qvec))], k=10, n_planes=8, n_tables=4).select(
+        "query_id", "vec_id", "cos_sim", "rank"
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -349,6 +411,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_revenue": q_segment_revenue,
         "ngram_jaccard": q_ngram_jaccard,
         "ann_cosine_topk": q_ann_cosine_topk,
+        "quality_stats": q_quality_stats,
+        "connected_components": q_connected_components,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "lang_id": q_lang_id,
+        "ann_lsh_topk": q_ann_lsh_topk,
     }
 
 
@@ -361,7 +429,38 @@ def oracle_sql() -> dict[str, str]:
     norm = normalize_sql_duckdb(
         "concat('  ', upper(c_name), ' _ [', c_mktsegment, ']')"
     )
+    from rex_spark.operators.textstats import _STOPWORDS
+
+    stoplist = ",".join(f"'{w}'" for w in _STOPWORDS)
     return {
+        "quality_stats": f"""
+            WITH t AS (
+              SELECT doc_id, text,
+                     string_split_regex(lower(trim(text)), '\\s+') AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   round(CAST(len(list_filter(toks, x -> x IN ({stoplist}))) AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS stopword_ratio,
+                   round(CAST(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                         / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS punct_ratio,
+                   round(CAST(len(list_distinct(toks)) AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS distinct_token_ratio,
+                   round(CAST(length(text) AS DOUBLE)
+                         / greatest(CAST(len(toks) AS DOUBLE), 1.0), 6) AS chars_per_token
+            FROM t
+        """,
+        "connected_components": """
+            WITH comp AS (
+              SELECT n_nationkey, n_name, least(n_name, min(c_name)) AS comp
+              FROM nation JOIN customer ON c_nationkey = n_nationkey
+              GROUP BY n_nationkey, n_name
+            )
+            SELECT c_name AS node, comp.comp AS comp
+            FROM customer JOIN comp ON customer.c_nationkey = comp.n_nationkey
+            UNION ALL
+            SELECT n_name AS node, comp FROM comp
+        """,
         "mentions": _SQL_MENTIONS,
         "candidate_pairs": f"""
             WITH pairs AS ({_SQL_PAIRS})

@@ -151,3 +151,89 @@ def generate_candidates(
         dict.fromkeys(["doc_id", "sent_idx", "tokens", "tags", "entities"] + carry_cols)
     )
     return sentences.select(*cols).mapInPandas(fn, schema)
+
+
+def candidates_from_docs(
+    docs: DataFrame,
+    lexicon: dict[str, str] | None = None,
+    lex_conf=None,
+    cand_conf: CandidateConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """FUSED production path: documents -> candidate rows with features in
+    ONE mapInPandas stage (lex + pair-gen + featurize per doc, a single
+    Python hop per task).
+
+    Chaining two mapInPandas stages (lex_documents |> generate_candidates)
+    is semantically identical but runs two PythonRunners per task — twice
+    the Arrow serialization and 2x Python-worker oversubscription, which
+    measurably destroys scaling efficiency at high parallelism. This is
+    the reference's own design point: one fused narrow pipeline
+    (rex SparkDataPipeline.scala:26-43).
+    """
+    from .lexer import LexerConfig, lex_document
+
+    lex_conf = lex_conf or LexerConfig()
+    cand_conf = cand_conf or CandidateConfig()
+    lexicon = lexicon or {}
+    carry_cols = carry_cols or []
+    spark = docs.sparkSession
+    b = spark.sparkContext.broadcast((lexicon, lex_conf, cand_conf))
+    in_fields = {f.name: f for f in docs.schema.fields}
+    schema = candidate_schema(cand_conf, [in_fields[c] for c in carry_cols])
+
+    featurize_on = cand_conf.adjacent_width is not None or cand_conf.inside_ngram is not None
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        lex, lc, cf = b.value
+        hashed = cf.hash_space is not None
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in schema.fields}
+            carry_src = [pdf[c].values for c in carry_cols]
+            for rowvals in zip(pdf[id_col].values, pdf[text_col].values, *carry_src):
+                doc_id, text = rowvals[0], rowvals[1]
+                if text is None:
+                    continue
+                doc_id = str(doc_id)
+                for si, (tokens, tags, ents) in enumerate(lex_document(str(text), lex, lc)):
+                    keep = _endpoint_keep(cf, tokens, tags, ents)
+                    if cf.max_gap is None:
+                        pairs = sentence_pairs(keep)
+                    else:
+                        pairs = sentence_pairs_windowed(keep, cf.max_gap)
+                    for q, a in pairs:
+                        cols["doc_id"].append(doc_id)
+                        cols["sent_idx"].append(si)
+                        cols["q_idx"].append(q)
+                        cols["a_idx"].append(a)
+                        cols["query_w"].append(tokens[q])
+                        cols["answer_w"].append(tokens[a])
+                        cols["query_ent"].append(ents[q])
+                        cols["answer_ent"].append(ents[a])
+                        if featurize_on or hashed:
+                            bag = featurize_sentence_candidate(
+                                tokens,
+                                q,
+                                a,
+                                adjacent_width=cf.adjacent_width,
+                                inside_ngram=cf.inside_ngram,
+                                inside_skip=cf.inside_skip,
+                                tags=tags,
+                                direction_feature=cf.direction_feature,
+                            )
+                            if hashed:
+                                idx, val = hash_feature_bag(bag, cf.hash_space)
+                                cols["f_idx"].append(idx)
+                                cols["f_val"].append(val)
+                            else:
+                                cols["features"].append(bag)
+                        elif not hashed:
+                            cols["features"].append({})
+                        for c, src in zip(carry_cols, rowvals[2:]):
+                            cols[c].append(src)
+            yield pd.DataFrame(cols)
+
+    sel = list(dict.fromkeys([id_col, text_col] + carry_cols))
+    return docs.select(*sel).mapInPandas(fn, schema)

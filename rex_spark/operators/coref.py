@@ -1,0 +1,146 @@
+"""Cross-sentence (coref) candidate generation — rex CorefCandGen
+(``CandGen.scala:37-116``) distributed.
+
+Coref chains for the code corpus are derived deterministically: a chain
+per entity surface form that appears (as a single token) in >= 2
+different sentences of a document — the code analog of nominal
+coreference (same symbol referenced across statements).
+
+The operator works on a DOC-NESTED frame (one row per document with its
+sentences collected) because coref pairs need all sentences of a doc in
+one place. Nesting costs one shuffle keyed by doc_id — unavoidable for
+cross-sentence semantics, bounded because a doc's sentences fit
+comfortably in memory.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.candidates import coref_candidates
+from ..functions.featurize import featurize_coref_candidate
+from ..functions.filters import no_known_punct
+from ..functions.hashing import hash_feature_bag
+from .candidates import CandidateConfig, _endpoint_keep
+
+
+def nest_documents(sentences: DataFrame) -> DataFrame:
+    """sentences(doc_id, sent_idx, tokens, tags, entities) -> one row per
+    doc with sentences ordered by sent_idx (sort inside the array —
+    deterministic regardless of shuffle order)."""
+    packed = sentences.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("sent_idx", "tokens", "tags", "entities"))
+        ).alias("sentences")
+    )
+    return packed
+
+
+def derive_coref_chains(
+    sentence_rows: list[dict], non_entity: str = "O"
+) -> list[list[tuple[int, int, int]]]:
+    """Chains of single-token entity mentions repeated across sentences."""
+    occurrences: dict[str, list[tuple[int, int, int]]] = {}
+    for s in sentence_rows:
+        toks, ents = s["tokens"], s["entities"]
+        for i, (t, e) in enumerate(zip(toks, ents)):
+            if e != non_entity:
+                occurrences.setdefault(t, []).append((s["sent_idx"], i, i + 1))
+    chains = []
+    for tok in sorted(occurrences):
+        ms = occurrences[tok]
+        if len({m[0] for m in ms}) >= 2:
+            chains.append(ms)
+    return chains
+
+
+COREF_CAND_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("mention_sent", T.IntegerType(), False),
+        T.StructField("mention_idx", T.IntegerType(), False),
+        T.StructField("shared_sent", T.IntegerType(), False),
+        T.StructField("coref_idx", T.IntegerType(), False),
+        T.StructField("other_idx", T.IntegerType(), False),
+        T.StructField("query_w", T.StringType(), False),
+        T.StructField("answer_w", T.StringType(), False),
+        T.StructField("f_idx", T.ArrayType(T.IntegerType()), False),
+        T.StructField("f_val", T.ArrayType(T.DoubleType()), False),
+    ]
+)
+
+
+def generate_coref_candidates(
+    nested_docs: DataFrame, conf: CandidateConfig | None = None
+) -> DataFrame:
+    """doc-nested frame -> coref candidate rows with hashed features."""
+    conf = conf or CandidateConfig()
+    spark = nested_docs.sparkSession
+    bconf = spark.sparkContext.broadcast(conf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf: CandidateConfig = bconf.value
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in COREF_CAND_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                sents = sorted(
+                    (s.asDict() if hasattr(s, "asDict") else dict(s) for s in row.sentences),
+                    key=lambda s: s["sent_idx"],
+                )
+                # positional index == sent_idx required by the kernel
+                by_idx = {s["sent_idx"]: s for s in sents}
+                max_idx = max(by_idx) if by_idx else -1
+                ordered = [
+                    by_idx.get(i, {"sent_idx": i, "tokens": [], "tags": [], "entities": []})
+                    for i in range(max_idx + 1)
+                ]
+                chains = derive_coref_chains(ordered)
+                if not chains:
+                    continue
+                tokens_per = [list(s["tokens"]) for s in ordered]
+                mention_keep = [no_known_punct(t) for t in tokens_per]
+                cand_keep = [
+                    _endpoint_keep(
+                        cf,
+                        list(s["tokens"]),
+                        list(s["tags"]) if s["tags"] is not None else ["ID"] * len(s["tokens"]),
+                        list(s["entities"])
+                        if s["entities"] is not None
+                        else [cf.non_entity] * len(s["tokens"]),
+                    )
+                    for s in ordered
+                ]
+                for c in coref_candidates(tokens_per, chains, mention_keep, cand_keep):
+                    shared = tokens_per[c["shared_sent"]]
+                    mention = tokens_per[c["mention_sent"]]
+                    bag = featurize_coref_candidate(
+                        shared,
+                        c["coref_idx"],
+                        c["other_idx"],
+                        mention,
+                        c["mention_idx"],
+                        adjacent_width=cf.adjacent_width,
+                        inside_ngram=cf.inside_ngram,
+                        inside_skip=cf.inside_skip,
+                    )
+                    idx, val = hash_feature_bag(bag, cf.hash_space or 262_147)
+                    cols["doc_id"].append(row.doc_id)
+                    cols["kind"].append(c["kind"])
+                    cols["mention_sent"].append(c["mention_sent"])
+                    cols["mention_idx"].append(c["mention_idx"])
+                    cols["shared_sent"].append(c["shared_sent"])
+                    cols["coref_idx"].append(c["coref_idx"])
+                    cols["other_idx"].append(c["other_idx"])
+                    cols["query_w"].append(c["query_w"])
+                    cols["answer_w"].append(c["answer_w"])
+                    cols["f_idx"].append(idx)
+                    cols["f_val"].append(val)
+            yield pd.DataFrame(cols)
+
+    return nested_docs.mapInPandas(fn, COREF_CAND_SCHEMA)

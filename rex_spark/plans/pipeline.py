@@ -42,9 +42,20 @@ def annotate(docs: DataFrame, lexicon: dict[str, str], conf: PipelineConfig) -> 
 
 
 def candidates(docs: DataFrame, lexicon: dict[str, str], conf: PipelineConfig) -> DataFrame:
-    sentences = annotate(docs, lexicon, conf)
-    carry = [c for c in conf.carry_cols if c in sentences.columns]
-    return generate_candidates(sentences, conf.candidates, carry_cols=carry)
+    """Fused single-Python-stage path (see candidates_from_docs docstring:
+    chaining two mapInPandas stages halves throughput at high parallelism)."""
+    from ..operators.candidates import candidates_from_docs
+
+    carry = [c for c in conf.carry_cols if c in docs.columns]
+    return candidates_from_docs(
+        docs,
+        lexicon,
+        conf.lexer,
+        conf.candidates,
+        id_col="doc_id",
+        text_col="content",
+        carry_cols=carry,
+    )
 
 
 def extract_triples_distant(

@@ -1,0 +1,111 @@
+"""Incremental KG construction over a document stream.
+
+The reference is batch-only (SURVEY §2.9); the engine adds the
+Structured Streaming surface because a 100 TB corpus is never static:
+new commits land continuously. The extraction stages are the SAME
+narrow operators as batch (mention pairs via array transforms, distant
+label via broadcast join) — they work unchanged on streaming DataFrames
+because they introduce no unsupported wide operations; only sinks and
+windowed rollups differ.
+
+  stream_triples:   readStream (file/parquet source) -> triples
+                    append-mode to a partitioned sink, exactly-once via
+                    checkpointLocation.
+  windowed_rollup:  per-relation counts over event-time tumbling
+                    windows with a watermark for late data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.mentions import mention_pairs
+
+
+def read_document_stream(
+    spark: SparkSession,
+    path: str,
+    schema,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    r = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger:
+        r = r.option("maxFilesPerTrigger", max_files_per_trigger)
+    return r.load(path)
+
+
+def stream_triples(
+    doc_stream: DataFrame,
+    kb: DataFrame,
+    lexicon_words: list[str],
+    max_gap: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "content",
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Streaming triple extraction: identical semantics to the batch
+    plan; KB joins as a broadcast against each micro-batch."""
+    pairs = mention_pairs(
+        doc_stream,
+        lexicon_words,
+        max_gap,
+        id_col=id_col,
+        text_col=text_col,
+        carry_cols=carry_cols or [],
+    )
+    joined = pairs.join(
+        F.broadcast(kb),
+        (pairs["query_w"] == kb["subj"]) & (pairs["answer_w"] == kb["obj"]),
+        "inner",
+    )
+    return joined.select(
+        F.col("query_w").alias("subj"),
+        F.col("rel").alias("pred"),
+        F.col("answer_w").alias("obj"),
+        "doc_id",
+        "q_pos",
+        "a_pos",
+        *(carry_cols or []),
+    )
+
+
+def write_triples_stream(
+    triples: DataFrame,
+    out_path: str,
+    checkpoint_path: str,
+    available_now: bool = False,
+):
+    """Append-mode partitioned sink; checkpointLocation gives exactly-once
+    file output (the streaming twin of the batch manifest/resume)."""
+    w = (
+        triples.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .partitionBy("pred")
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
+def windowed_rollup(
+    triples_with_ts: DataFrame,
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-relation tumbling-window counts with late-data watermark."""
+    return (
+        triples_with_ts.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("w"), F.col("pred"))
+        .agg(F.count(F.lit(1)).alias("n_triples"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "pred",
+            "n_triples",
+        )
+    )

@@ -1,0 +1,44 @@
+"""Distributed coref candidate generation (C3)."""
+
+from rex_spark.operators.candidates import CandidateConfig
+from rex_spark.operators.coref import (
+    derive_coref_chains,
+    generate_coref_candidates,
+    nest_documents,
+)
+
+
+def test_derive_coref_chains():
+    sents = [
+        {"sent_idx": 0, "tokens": ["Svc1", "calls", "Mod2"], "entities": ["CLASS", "O", "MODULE"]},
+        {"sent_idx": 1, "tokens": ["Svc1", "reads", "Db3"], "entities": ["CLASS", "O", "MODULE"]},
+    ]
+    chains = derive_coref_chains(sents)
+    assert chains == [[(0, 0, 1), (1, 0, 1)]]
+
+
+def test_generate_coref_candidates(spark):
+    rows = [
+        ("d1", 0, ["Svc1", "calls", "Mod2"], ["ID", "KW", "ID"], ["CLASS", "O", "MODULE"]),
+        ("d1", 1, ["Svc1", "reads", "Db3"], ["ID", "KW", "ID"], ["CLASS", "O", "MODULE"]),
+        ("d2", 0, ["lonely", "sentence"], ["ID", "ID"], ["O", "O"]),
+    ]
+    sentences = spark.createDataFrame(
+        rows, "doc_id string, sent_idx int, tokens array<string>, "
+        "tags array<string>, entities array<string>"
+    )
+    nested = nest_documents(sentences)
+    cands = generate_coref_candidates(nested, CandidateConfig(candidate_filter="entities"))
+    got = {
+        (r["doc_id"], r["kind"], r["query_w"], r["answer_w"], r["shared_sent"])
+        for r in cands.collect()
+    }
+    # chain Svc1@s0 ~ Svc1@s1; shared s1 pairs with Db3; shared s0 pairs with Mod2
+    assert ("d1", "coref_query", "Svc1", "Db3", 1) in got
+    assert ("d1", "coref_answer", "Db3", "Svc1", 1) in got
+    assert ("d1", "coref_query", "Svc1", "Mod2", 0) in got
+    assert ("d1", "coref_answer", "Mod2", "Svc1", 0) in got
+    assert all(d != "d2" for d, *_ in got)
+    # features are hashed sparse and non-empty
+    row = cands.collect()[0]
+    assert len(row["f_idx"]) == len(row["f_val"]) > 0

@@ -1,0 +1,82 @@
+"""Structured Streaming: incremental extraction == batch extraction;
+exactly-once across incremental file arrivals; windowed rollups."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rex_spark.streaming.ingest import (
+    read_document_stream,
+    stream_triples,
+    windowed_rollup,
+    write_triples_stream,
+)
+
+LEX = ["alpha", "beta", "gamma"]
+KB_ROWS = [("alpha", "beta", "calls"), ("beta", "gamma", "imports")]
+
+
+def _write_docs(spark, path, docs):
+    spark.createDataFrame(docs, "doc_id string, content string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    docs1 = [("d1", "alpha calls into beta then gamma"), ("d2", "no mentions here")]
+    docs2 = [("d3", "beta feeds gamma directly"), ("d4", "alpha beta gamma")]
+    _write_docs(spark, src, docs1)
+
+    kb = spark.createDataFrame(KB_ROWS, ["subj", "obj", "rel"])
+    schema = "doc_id string, content string"
+
+    def run_stream():
+        stream = read_document_stream(spark, src, schema)
+        triples = stream_triples(stream, kb, LEX, max_gap=5, text_col="content")
+        q = write_triples_stream(triples, out, chk, available_now=True)
+        q.awaitTermination(120)
+
+    run_stream()
+    first = {tuple(r) for r in spark.read.parquet(out).select("subj", "pred", "obj", "doc_id").collect()}
+    assert ("alpha", "calls", "beta", "d1") in first
+
+    # second batch of files arrives; re-trigger: only NEW docs are processed
+    _write_docs(spark, src, docs2)
+    run_stream()
+    all_rows = [
+        tuple(r)
+        for r in spark.read.parquet(out).select("subj", "pred", "obj", "doc_id").collect()
+    ]
+    assert len(all_rows) == len(set(all_rows))  # exactly-once: no duplicates
+
+    # batch reference: same operators on a static read
+    from rex_spark.operators.mentions import mention_pairs
+
+    batch_docs = spark.read.parquet(src)
+    pairs = mention_pairs(batch_docs, LEX, 5, text_col="content")
+    batch = (
+        pairs.join(kb, (pairs["query_w"] == kb["subj"]) & (pairs["answer_w"] == kb["obj"]))
+        .select("query_w", "rel", "answer_w", "doc_id")
+        .collect()
+    )
+    assert {tuple(r) for r in batch} == {
+        (s, p, o, d) for s, p, o, d in set(all_rows)
+    }
+
+
+def test_windowed_rollup_batchmode(spark):
+    # windowed agg semantics verified on a static frame (same expression
+    # tree Structured Streaming executes incrementally)
+    df = spark.createDataFrame(
+        [
+            ("2026-01-01 00:00:10", "calls"),
+            ("2026-01-01 00:00:50", "calls"),
+            ("2026-01-01 00:01:10", "imports"),
+        ],
+        ["ts_s", "pred"],
+    ).select(F.col("ts_s").cast("timestamp").alias("ts"), "pred")
+    out = {(r["pred"], r["n_triples"]) for r in windowed_rollup(df).collect()}
+    assert ("calls", 2) in out and ("imports", 1) in out

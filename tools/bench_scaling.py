@@ -1,0 +1,136 @@
+"""Scaling-efficiency evidence (BASELINE.json north_rule).
+
+No real cluster exists in this sandbox, so the >= 0.8 criterion is
+evidenced by running the IDENTICAL job at two parallelism levels
+(local[N] and local[4N], the whole process tree PINNED to exactly that
+many cores with taskset) on the same deterministic input:
+
+    efficiency = (throughput@4N / throughput@N) / 4
+
+Methodology notes (all required for a fair measurement on this VM):
+  - taskset pins JVM + python workers; otherwise Spark's Python workers
+    spill onto every core and "local[N]" is not an N-core run;
+  - N=4 vs 4N=16: 1-2-core runs get CPU frequency boost (~1.5x) which
+    would unfairly inflate the small-N baseline; a pure-CPU reference
+    workload measured per-core confirms flat clocks from 4 cores up;
+  - identical partition count (160) at both levels: same task
+    granularity, fine enough that the straggler tail is amortized;
+  - full-shape warmup (5% sample through the whole plan) so codegen,
+    python-worker spawn and broadcast build are excluded from timing.
+
+Two measured jobs:
+  - jvm:  lexicon mention-pair extraction + broadcast KB join (zero
+          Python — the distant-only production path);
+  - featurized: the full fused pandas pipeline (lex + candgen +
+          featurize + distant label) — the learned-extraction path.
+
+Usage:
+  python tools/bench_scaling.py                 # orchestrate all runs
+  python tools/bench_scaling.py worker JOB N    # one measured run
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+N_DOCS_JVM = int(os.environ.get("REX_SCALE_DOCS_JVM", "2000000"))
+N_DOCS_PY = int(os.environ.get("REX_SCALE_DOCS_PY", "400000"))
+LOW = int(os.environ.get("REX_SCALE_LOW", "4"))
+HIGH = int(os.environ.get("REX_SCALE_HIGH", "16"))
+PARTITIONS = int(os.environ.get("REX_SCALE_PARTITIONS", "160"))
+REPS = int(os.environ.get("REX_SCALE_REPS", "3"))
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def worker(job: str, cpus: int) -> None:
+    from pyspark.sql import functions as F
+
+    from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
+    from rex_spark.session import get_spark
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    spark = get_spark(f"rex-scale-{job}-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    n_docs = N_DOCS_JVM if job == "jvm" else N_DOCS_PY
+    conf = CorpusConfig(n_docs=n_docs, n_entities=400, n_kb=800, n_repos=100, seed=42)
+    kb = kb_df(spark, conf)
+    lex = make_lexicon(conf)
+
+    if job == "jvm":
+        from rex_spark.operators.mentions import mention_pairs
+
+        docs = (
+            corpus_df(spark, conf, partitions=PARTITIONS)
+            .select("doc_id", F.translate("content", "\n", " ").alias("text"))
+            .cache()
+        )
+        docs.count()
+        pairs = mention_pairs(docs, sorted(lex), 6, text_col="text")
+        plan = pairs.join(
+            F.broadcast(kb), (pairs.query_w == kb.subj) & (pairs.answer_w == kb.obj)
+        )
+        plan.count()  # warm: codegen + broadcast
+        walls = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n = plan.count()
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)  # min-of-N: VM background noise only ever adds time
+    else:
+        docs = corpus_df(spark, conf, partitions=PARTITIONS).cache()
+        docs.count()
+        pc = PipelineConfig()
+        extract_triples_distant(docs.sample(0.05, seed=1), kb, lex, pc).count()  # warm
+        walls = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            n = extract_triples_distant(docs, kb, lex, pc).count()
+            walls.append(time.perf_counter() - t0)
+        wall = min(walls)
+
+    print(json.dumps({"job": job, "cpus": cpus, "wall_sec": round(wall, 3),
+                      "all_walls": [round(w, 3) for w in walls],
+                      "rows": n, "rows_per_sec": round(n / wall, 2),
+                      "n_docs": n_docs, "partitions": PARTITIONS}))
+    spark.stop()
+
+
+def main() -> None:
+    summary = {}
+    for job in ("jvm", "featurized"):
+        res = {}
+        for cpus in (LOW, HIGH):
+            out = subprocess.run(
+                ["taskset", "-c", f"0-{cpus - 1}",
+                 sys.executable, os.path.abspath(__file__), "worker", job, str(cpus)],
+                capture_output=True, text=True, check=True,
+            )
+            line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+            res[cpus] = json.loads(line)
+            print(line)
+        eff = (res[HIGH]["rows_per_sec"] / res[LOW]["rows_per_sec"]) / (HIGH / LOW)
+        summary[job] = {
+            "low": res[LOW],
+            "high": res[HIGH],
+            "scaling_factor": HIGH / LOW,
+            "efficiency": round(eff, 3),
+            "pass": eff >= 0.8,
+        }
+        print(json.dumps({job: summary[job]["efficiency"], "pass": summary[job]["pass"]}))
+    os.makedirs("bench_out", exist_ok=True)
+    with open("bench_out/scaling.json", "w") as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "worker":
+        worker(sys.argv[2], int(sys.argv[3]))
+    else:
+        main()
