@@ -1,0 +1,174 @@
+"""Canonicalization ETL — the engine's form of the reference's
+``ResolveGoogle50kWikidata`` pipeline (rex app/ResolveGoogle50kWikidata.scala):
+
+  S8  relation-KB JSON dir scan: ``fixed_*-<relation>.json`` line-JSON
+      files of (sub, obj) ID pairs; relation comes from the FILE NAME
+      (``relationFromName``, :446-449) -> ``input_file_name()`` +
+      ``regexp_extract`` (no driver-side file loop);
+  S9  ID-map load: N-triples-ish TSV ``<..fb-id..> <pred> <..wd-id..> .``
+      filtered by a SEMI JOIN against the IDs of interest
+      (``loadFreebase2WikidataIdMap``, :345-360) — the reference's
+      eager-pruning trick, kept explicit for the huge-dump scan;
+  S10 entity-mention dump scan: giant JSON-array-per-line dump; strip
+      ``[ ] ,`` wrappers, project id/label/aliases, semi join on the
+      interesting IDs (``loadWikidataTextMentions``, :231-253);
+  S11 simplified-triple expansion: two broadcast joins + explode of
+      subject mentions x object mentions x relations, TSV out
+      (``OutputSimplifiedTriples.apply``, :272-333). Numeric IDs pass
+      through as their own mention (``getPassThruIfNum``, :262-269).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_relation_kb_json_dir(spark: SparkSession, path: str) -> DataFrame:
+    """S8: -> (sub, obj, rel) distinct triples. The relation is parsed
+    from each file's name; malformed JSON lines are dropped (the
+    reference logs-and-skips, :419-427)."""
+    raw = spark.read.text(f"{path}/fixed_*.json").select(
+        F.input_file_name().alias("_file"), F.col("value")
+    )
+    parsed = raw.select(
+        F.regexp_extract(F.col("_file"), r"fixed_[^/]*?-([^/]+)\.json$", 1).alias("rel"),
+        F.get_json_object("value", "$.sub").alias("sub"),
+        F.get_json_object("value", "$.obj").alias("obj"),
+    )
+    return parsed.dropna().where("rel <> ''").distinct()
+
+
+def load_id_map(
+    spark: SparkSession, path: str, ids_of_interest: DataFrame
+) -> DataFrame:
+    """S9: -> (src_id, dst_id), keeping only interesting src ids via a
+    broadcast SEMI JOIN (explicit pruning before anything wide).
+
+    Line format: ``<ns/fb.id>\\t<pred>\\t<ns/WDID> .`` — both IDs are the
+    last path segment inside <...>; the freebase id's dots become
+    slashes with a leading slash (reference extractBothIds, :373-383).
+    """
+    lines = (
+        spark.read.text(path)
+        .where(~F.col("value").startswith("#"))
+        .where(F.length(F.trim("value")) > 0)
+        .select(F.split(F.regexp_replace("value", r" \.$", ""), "\t").alias("bits"))
+    )
+    extract = lambda c: F.regexp_extract(c, r"([^/>]+)>?$", 1)
+    pairs = lines.select(
+        F.concat(
+            F.lit("/"), F.regexp_replace(extract(F.col("bits")[0]), r"\.", "/")
+        ).alias("src_id"),
+        extract(F.col("bits")[2]).alias("dst_id"),
+    )
+    return pairs.join(
+        F.broadcast(ids_of_interest.select(F.col(ids_of_interest.columns[0]).alias("src_id")).distinct()),
+        "src_id",
+        "left_semi",
+    )
+
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.StringType(), True),
+        T.StructField(
+            "labels",
+            T.StructType(
+                [
+                    T.StructField("en", T.StructType([T.StructField("value", T.StringType())])),
+                    T.StructField("simple", T.StructType([T.StructField("value", T.StringType())])),
+                ]
+            ),
+        ),
+        T.StructField(
+            "aliases",
+            T.StructType(
+                [T.StructField("en", T.ArrayType(T.StructType([T.StructField("value", T.StringType())])))]
+            ),
+        ),
+    ]
+)
+
+
+def load_entity_mentions(
+    spark: SparkSession, path: str, ids_of_interest: DataFrame
+) -> DataFrame:
+    """S10: giant JSON dump -> (id, mention) rows: en/simple labels plus
+    en aliases, semi-joined to the interesting IDs. Array wrapper lines
+    and trailing commas are stripped like the reference (:243-251)."""
+    raw = (
+        spark.read.text(path)
+        .where(~F.col("value").isin("[", "]"))
+        .select(F.regexp_replace("value", r",\s*$", "").alias("line"))
+    )
+    j = raw.select(F.from_json("line", MENTIONS_SCHEMA).alias("e")).where(
+        F.col("e.id").isNotNull()
+    )
+    keep = j.join(
+        F.broadcast(
+            ids_of_interest.select(F.col(ids_of_interest.columns[0]).alias("id")).distinct()
+        ),
+        j["e.id"] == F.col("id"),
+        "left_semi",
+    )
+    mentions = keep.select(
+        F.col("e.id").alias("wd_id"),
+        F.explode(
+            F.array_compact(
+                F.concat(
+                    F.array(F.col("e.labels.en.value"), F.col("e.labels.simple.value")),
+                    F.coalesce(
+                        F.transform(F.col("e.aliases.en"), lambda a: a["value"]),
+                        F.array(),
+                    ),
+                )
+            )
+        ).alias("mention"),
+    )
+    return mentions.distinct()
+
+
+def expand_simplified_triples(
+    kb: DataFrame,  # (sub, obj, rel) in source-id space
+    id_map: DataFrame,  # (src_id, dst_id)
+    mentions: DataFrame,  # (wd_id, mention)
+) -> DataFrame:
+    """S11: -> (subj_mention, obj_mention, rel): resolve both endpoints
+    through the id map, then expand all subject mentions x object
+    mentions x relations via two broadcast joins + the join's natural
+    row multiplication. Purely-numeric resolved IDs pass through as
+    their own mention (reference getPassThruIfNum, :262-269)."""
+    sub_map = id_map.select(F.col("src_id").alias("sub"), F.col("dst_id").alias("sub_wd"))
+    obj_map = id_map.select(F.col("src_id").alias("obj"), F.col("dst_id").alias("obj_wd"))
+    resolved = kb.join(F.broadcast(sub_map), "sub").join(F.broadcast(obj_map), "obj")
+
+    is_num = lambda c: F.col(c).rlike(r"^[0-9]+$")
+    sub_m = mentions.select(F.col("wd_id").alias("sub_wd"), F.col("mention").alias("subj_mention"))
+    obj_m = mentions.select(F.col("wd_id").alias("obj_wd"), F.col("mention").alias("obj_mention"))
+
+    expanded = (
+        resolved.join(F.broadcast(sub_m), "sub_wd", "left")
+        .withColumn(
+            "subj_mention",
+            F.when(is_num("sub_wd"), F.col("sub_wd")).otherwise(F.col("subj_mention")),
+        )
+        .where(F.col("subj_mention").isNotNull())
+        .join(F.broadcast(obj_m), "obj_wd", "left")
+        .withColumn(
+            "obj_mention",
+            F.when(is_num("obj_wd"), F.col("obj_wd")).otherwise(F.col("obj_mention")),
+        )
+        .where(F.col("obj_mention").isNotNull())
+    )
+    return expanded.select("subj_mention", "obj_mention", "rel")
+
+
+def read_raw_docs(spark: SparkSession, path: str) -> DataFrame:
+    """S12: ``id \\t text`` raw document reader."""
+    return (
+        spark.read.option("sep", "\t")
+        .schema("doc_id string, text string")
+        .csv(path)
+    )

@@ -1,0 +1,88 @@
+"""Canonicalization ETL (S8-S12 analogs of ResolveGoogle50kWikidata)."""
+
+import json
+import os
+
+from rex_spark.sources.etl import (
+    expand_simplified_triples,
+    load_entity_mentions,
+    load_id_map,
+    load_relation_kb_json_dir,
+    read_raw_docs,
+)
+
+
+def test_relation_kb_json_dir(spark, tmp_path):
+    d = tmp_path / "google"
+    d.mkdir()
+    (d / "fixed_01-place_of_birth.json").write_text(
+        json.dumps({"sub": "/m/aa", "obj": "/m/bb"})
+        + "\n"
+        + json.dumps({"sub": "/m/cc", "obj": "/m/dd"})
+        + "\nnot json, skipped? no - dropna handles nulls\n"
+    )
+    (d / "fixed_02-education.json").write_text(json.dumps({"sub": "/m/aa", "obj": "/m/ee"}) + "\n")
+    (d / "ignored.json").write_text(json.dumps({"sub": "/m/xx", "obj": "/m/yy"}) + "\n")
+    kb = load_relation_kb_json_dir(spark, str(d))
+    got = {(r["sub"], r["obj"], r["rel"]) for r in kb.collect()}
+    assert got == {
+        ("/m/aa", "/m/bb", "place_of_birth"),
+        ("/m/cc", "/m/dd", "place_of_birth"),
+        ("/m/aa", "/m/ee", "education"),
+    }
+
+
+def test_id_map_semi_join(spark, tmp_path):
+    p = tmp_path / "fb2wd.nt"
+    p.write_text(
+        "# comment line\n"
+        "<http://rdf.freebase.com/ns/m.aa>\t<http://x/sameAs>\t<http://wd/Q100> .\n"
+        "<http://rdf.freebase.com/ns/m.bb>\t<http://x/sameAs>\t<http://wd/Q200> .\n"
+        "<http://rdf.freebase.com/ns/m.zz>\t<http://x/sameAs>\t<http://wd/Q999> .\n"
+    )
+    interest = spark.createDataFrame([("/m/aa",), ("/m/bb",)], ["fb_id"])
+    m = load_id_map(spark, str(p), interest)
+    got = {(r["src_id"], r["dst_id"]) for r in m.collect()}
+    assert got == {("/m/aa", "Q100"), ("/m/bb", "Q200")}
+
+
+def test_entity_mentions(spark, tmp_path):
+    p = tmp_path / "dump.json"
+    e1 = {
+        "id": "Q100",
+        "labels": {"en": {"value": "Alpha"}, "simple": {"value": "Alpha simple"}},
+        "aliases": {"en": [{"value": "The Alpha"}]},
+    }
+    e2 = {"id": "Q999", "labels": {"en": {"value": "Nope"}}}
+    p.write_text("[\n" + json.dumps(e1) + ",\n" + json.dumps(e2) + ",\n]\n")
+    interest = spark.createDataFrame([("Q100",)], ["wd"])
+    m = load_entity_mentions(spark, str(p), interest)
+    got = {(r["wd_id"], r["mention"]) for r in m.collect()}
+    assert got == {("Q100", "Alpha"), ("Q100", "Alpha simple"), ("Q100", "The Alpha")}
+
+
+def test_expand_simplified_triples(spark):
+    kb = spark.createDataFrame(
+        [("/m/aa", "/m/bb", "place_of_birth")], ["sub", "obj", "rel"]
+    )
+    id_map = spark.createDataFrame(
+        [("/m/aa", "Q100"), ("/m/bb", "1984")], ["src_id", "dst_id"]
+    )
+    mentions = spark.createDataFrame(
+        [("Q100", "Alpha"), ("Q100", "The Alpha")], ["wd_id", "mention"]
+    )
+    out = expand_simplified_triples(kb, id_map, mentions)
+    got = {(r["subj_mention"], r["obj_mention"], r["rel"]) for r in out.collect()}
+    # numeric wikidata id passes through as its own mention (reference
+    # getPassThruIfNum); both subject mentions expand
+    assert got == {
+        ("Alpha", "1984", "place_of_birth"),
+        ("The Alpha", "1984", "place_of_birth"),
+    }
+
+
+def test_read_raw_docs(spark, tmp_path):
+    p = tmp_path / "docs.tsv"
+    p.write_text("d1\thello world\nd2\tsecond doc\n")
+    got = {(r["doc_id"], r["text"]) for r in read_raw_docs(spark, str(p)).collect()}
+    assert got == {("d1", "hello world"), ("d2", "second doc")}

@@ -1,0 +1,60 @@
+"""Physical-plan audits: the scale properties we claim must be visible
+in explain() output — broadcast joins stay broadcast, narrow stages stay
+shuffle-free, parquet scans get pushdown."""
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.distant import distant_label
+from rex_spark.operators.mentions import mention_pairs
+from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
+from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+CONF = CorpusConfig(n_docs=50, n_entities=20, n_kb=25, n_repos=4, seed=3)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_distant_pipeline_plan_is_shuffle_free(spark):
+    docs = corpus_df(spark, CONF, partitions=4)
+    kb = kb_df(spark, CONF)
+    lex = make_lexicon(CONF)
+    triples = extract_triples_distant(docs, kb, lex, PipelineConfig())
+    plan = _plan(triples)
+    assert "BroadcastHashJoin" in plan
+    # the candidate (big) side must be narrow end-to-end: any shuffle
+    # exchange may only appear inside the broadcast (KB-dedupe) subtree
+    big_side = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in big_side
+    assert plan.count("Exchange hashpartitioning") <= 1  # KB distinct only
+
+
+def test_mention_pairs_plan_no_python_no_shuffle(spark):
+    docs = spark.createDataFrame([("d", "spark table join")], ["doc_id", "text"])
+    pairs = mention_pairs(docs, ["spark", "table"], 3, text_col="text")
+    plan = _plan(pairs)
+    assert "Exchange" not in plan
+    assert "Python" not in plan  # pure JVM path
+    assert "Generate explode" in plan or "Generate" in plan
+
+
+def test_kb_join_is_broadcast_even_without_hint(spark, tmp_path):
+    # the KB is far below the broadcast threshold; Catalyst must choose
+    # broadcast on its own when we don't hint (we hint anyway in the
+    # engine paths — this guards the config)
+    cands = spark.createDataFrame(
+        [("a", "b")], ["query_w", "answer_w"]
+    )
+    kb = spark.createDataFrame([("a", "b", "r")], ["subj", "obj", "rel"])
+    labeled = distant_label(cands, kb)
+    assert "BroadcastHashJoin" in _plan(labeled)
+
+
+def test_parquet_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = df.where(F.col("doc_id") < 10).select("doc_id", "lang")
+    plan = _plan(q)
+    assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan
+    # column pruning: content/text columns must NOT be read
+    assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
