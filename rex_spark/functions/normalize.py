@@ -34,17 +34,16 @@ def normalize(s: str) -> str:
 
 
 def normalize_col(col: Column) -> Column:
+    # Semantically identical to the reference's 10-regex chain but ~20x
+    # cheaper: pure character deletions use translate (single pass, no
+    # regex engine); only the whitespace collapse needs a regex. The
+    # reference ORDER is preserved exactly — quote/underscore deletion,
+    # THEN whitespace collapse, THEN bracket deletion (observable when
+    # bracket removal leaves adjacent spaces).
     c = F.lower(F.trim(col))
-    c = F.regexp_replace(c, "'", "")
-    c = F.regexp_replace(c, '"', "")
-    c = F.regexp_replace(c, "_", "")
+    c = F.translate(c, "'\"_", "")
     c = F.regexp_replace(c, " +", " ")
-    c = F.regexp_replace(c, r"\(", "")
-    c = F.regexp_replace(c, r"\)", "")
-    c = F.regexp_replace(c, r"\[", "")
-    c = F.regexp_replace(c, r"\]", "")
-    c = F.regexp_replace(c, r"\{", "")
-    c = F.regexp_replace(c, r"\}", "")
+    c = F.translate(c, "()[]{}", "")
     return c
 
 
