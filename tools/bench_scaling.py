@@ -103,7 +103,11 @@ def worker(job: str, cpus: int) -> None:
 
 def main() -> None:
     summary = {}
-    for job in ("jvm", "featurized"):
+    jobs = tuple(os.environ.get("REX_SCALE_JOBS", "jvm,featurized").split(","))
+    if os.path.exists("bench_out/scaling.json"):
+        with open("bench_out/scaling.json") as f:
+            summary = json.load(f)
+    for job in jobs:
         res = {}
         for cpus in (LOW, HIGH):
             out = subprocess.run(
