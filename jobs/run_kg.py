@@ -1,0 +1,93 @@
+"""spark-submit entry point: staged, resumable KG construction.
+
+Deployment (north_rule: all stages run via spark-submit --py-files on
+multi-executor clusters):
+
+    python tools/package.py                       # -> dist/rex_spark.zip
+    spark-submit --py-files dist/rex_spark.zip \\
+        jobs/run_kg.py --input <docs-table-or-synth:N> \\
+        --kb <kb.tsv-or-synth> --out /path/kg [--mode distant|learned]
+
+With ``--input synth:N`` the deterministic corpus generator supplies N
+documents (self-contained demo / benchmark); otherwise ``--input`` is a
+parquet path with the (repo, path, commit, lang, content) schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or synth:N")
+    ap.add_argument("--kb", default="synth", help="KB TSV path or 'synth'")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--mode", choices=["distant", "learned"], default="distant")
+    ap.add_argument("--link-entities", action="store_true")
+    ap.add_argument("--max-gap", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from rex_spark.plans.materialize import kg_summary_metrics, materialize_kg
+    from rex_spark.plans.pipeline import PipelineConfig
+    from rex_spark.sources.corpus import (
+        CorpusConfig,
+        corpus_df,
+        kb_df,
+        make_lexicon,
+    )
+    from rex_spark.sources.kb import load_kb_tsv
+
+    # spark-submit provides the master; fall back for bare python runs
+    spark = SparkSession.builder.appName("rex-spark-kg").getOrCreate()
+
+    if args.input.startswith("synth:"):
+        cconf = CorpusConfig(n_docs=int(args.input.split(":", 1)[1]))
+        docs = corpus_df(spark, cconf)
+        lexicon = make_lexicon(cconf)
+        kb = kb_df(spark, cconf) if args.kb == "synth" else load_kb_tsv(spark, args.kb)
+    else:
+        docs = spark.read.parquet(args.input)
+        if "doc_id" not in docs.columns:
+            docs = docs.withColumn(
+                "doc_id", F.concat_ws("@", "repo", "path", "commit")
+            )
+        if "content_sha256" not in docs.columns:
+            docs = docs.withColumn("content_sha256", F.sha2(F.col("content"), 256))
+        kb = load_kb_tsv(spark, args.kb)
+        # lexicon = KB entity surface forms (distant-supervision NER)
+        lexicon = {
+            r["e"]: "ENT"
+            for r in kb.select(F.col("subj").alias("e"))
+            .union(kb.select(F.col("obj").alias("e")))
+            .distinct()
+            .collect()
+        }
+
+    conf = PipelineConfig()
+    if args.max_gap is not None:
+        conf.candidates.max_gap = args.max_gap
+
+    triples = materialize_kg(
+        spark, docs, kb, lexicon, args.out, conf, link_entities=args.link_entities
+    )
+    metrics = {
+        r["pred"]: {
+            "n_mentions": r["n_mentions"],
+            "n_edges": r["n_edges"],
+            "n_subjects": r["n_subjects"],
+            "n_objects": r["n_objects"],
+        }
+        for r in kg_summary_metrics(triples).collect()
+    }
+    print(json.dumps({"out": args.out, "metrics": metrics}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
