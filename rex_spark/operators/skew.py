@@ -1,0 +1,99 @@
+"""Skew handling for mega-repo-keyed shuffles.
+
+Context (SURVEY §4 item 1): corpus rows are Zipf-distributed over
+``repo`` — one repo can hold a large fraction of all files. Three
+mechanisms, used where each applies:
+
+  1. ALGEBRAIC aggregations (count/sum/min/max/avg): nothing to do —
+     Spark's hash aggregate computes map-side partials, so the reduce
+     side only ever sees one row per (partition, key). Salting would
+     be pure overhead; we deliberately do NOT salt these.
+  2. NON-ALGEBRAIC aggregations (collect_set/collect_list, exact
+     distinct counts): the hot key's rows all meet in one reduce task.
+     ``salted_agg`` does the standard two-phase rewrite: group by
+     (key, salt) with a deterministic salt, partially aggregate, then
+     re-aggregate by key. Fan-out bounded, deterministic (hash-based
+     salt, not rand).
+  3. JOINS with a skewed probe side: the KB/dimension side is always
+     broadcast in this engine (no shuffle at all); for large-large
+     joins AQE's skew-join split is enabled in the session factory
+     (``spark.sql.adaptive.skewJoin.enabled``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, key_cols: list[str], n_salts: int, salt_col: str = "_salt") -> DataFrame:
+    """Deterministic salt in [0, n_salts) derived from the FULL row's
+    natural identity columns (never rand — resume/parity safe)."""
+    ident = [F.coalesce(F.col(c).cast("string"), F.lit("")) for c in df.columns]
+    return df.withColumn(salt_col, F.pmod(F.hash(*ident), F.lit(n_salts)).cast("int"))
+
+
+def salted_agg(
+    df: DataFrame,
+    key_cols: list[str],
+    partial: list[Column],
+    final: list[Column],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``partial``: aggregate expressions evaluated per (key, salt) — their
+    aliases must match what ``final`` consumes.
+    ``final``: aggregate expressions merging the partials per key.
+
+    Example — distinct entities per repo (collect_set is non-algebraic;
+    a mega-repo would otherwise funnel into one reduce task):
+
+        salted_agg(
+            df, ["repo"],
+            partial=[F.collect_set("entity").alias("ents")],
+            final=[F.array_distinct(F.flatten(F.collect_list("ents"))).alias("ents")],
+        )
+    """
+    salted = with_salt(df, key_cols, n_salts)
+    stage1 = salted.groupBy(*key_cols, "_salt").agg(*partial)
+    return stage1.groupBy(*key_cols).agg(*final)
+
+
+def salted_distinct_count(
+    df: DataFrame, key_cols: list[str], value_col: str, n_salts: int = 16
+) -> DataFrame:
+    """Exact countDistinct per key without a single-task hot key: salt by
+    the VALUE (same value -> same salt, so cross-salt dedupe is free),
+    count distinct per (key, salt), sum per key."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.hash(F.col(value_col)), F.lit(n_salts)).cast("int")
+    )
+    stage1 = salted.groupBy(*key_cols, "_salt").agg(
+        F.countDistinct(value_col).alias("_partial")
+    )
+    return stage1.groupBy(*key_cols).agg(F.sum("_partial").alias("n_distinct"))
+
+
+def repo_entity_inventory(triples: DataFrame, n_salts: int = 16) -> DataFrame:
+    """Per-repo sorted distinct entity list + exact distinct count — the
+    mega-repo-skewed aggregation of the KG pipeline, two-phase salted."""
+    ments = triples.select("repo", F.col("subj").alias("entity")).union(
+        triples.select("repo", F.col("obj").alias("entity"))
+    )
+    return salted_agg(
+        ments,
+        ["repo"],
+        partial=[F.collect_set("entity").alias("ents")],
+        final=[
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("ents")))).alias(
+                "entities"
+            ),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("ents")))
+            ).cast("bigint").alias("n_entities"),
+        ],
+        n_salts=n_salts,
+    )

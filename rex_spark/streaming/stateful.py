@@ -1,0 +1,69 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+``streaming_exact_dedup``: exactly-once-per-content emission across the
+whole stream lifetime — the streaming twin of ``operators/dedup.py``'s
+exact dedup. State: one boolean per content fingerprint group ("already
+emitted"), so re-ingested duplicates (even across micro-batches and
+restarts, via the checkpoint) are dropped. This is the pattern a
+continuously-ingesting training-data pipeline needs to avoid re-feeding
+recrawled documents.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("fp", T.StringType(), False),
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("content", T.StringType(), True),
+    ]
+)
+
+DEDUP_STATE_SCHEMA = T.StructType([T.StructField("emitted", T.BooleanType(), False)])
+
+
+def _dedup_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    already = state.exists and state.get[0]
+    if already:
+        for _ in pdfs:  # drain; everything is a duplicate
+            pass
+        return
+    first = None
+    for pdf in pdfs:
+        if len(pdf) and first is None:
+            # deterministic winner: min doc_id within what this batch saw
+            first = pdf.sort_values("doc_id").iloc[0]
+    if first is not None:
+        state.update((True,))
+        yield pd.DataFrame(
+            {"fp": [key[0]], "doc_id": [str(first["doc_id"])], "content": [first["content"]]}
+        )
+
+
+def streaming_exact_dedup(
+    doc_stream: DataFrame, id_col: str = "doc_id", text_col: str = "content"
+) -> DataFrame:
+    """stream of documents -> stream of first-seen-only documents keyed by
+    content md5. State lives in the streaming checkpoint (exactly-once)."""
+    keyed = doc_stream.select(
+        F.md5(F.col(text_col)).alias("fp"),
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(text_col).alias("content"),
+    )
+    return keyed.groupBy("fp").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=DEDUP_OUT_SCHEMA,
+        stateStructType=DEDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

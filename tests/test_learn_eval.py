@@ -1,0 +1,51 @@
+"""learn_eval CV harness over the synthetic corpus."""
+
+import pytest
+
+from rex_spark.operators.distant import distant_label
+from rex_spark.plans.learn_eval import LearnEvalConfig, learn_eval_report, per_relation_report
+from rex_spark.plans.pipeline import PipelineConfig, candidates
+from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+CONF = CorpusConfig(n_docs=150, n_entities=40, n_kb=60, n_repos=8, seed=7)
+
+
+@pytest.fixture(scope="module")
+def labeled(spark):
+    docs = corpus_df(spark, CONF, partitions=8)
+    lab = distant_label(
+        candidates(docs, make_lexicon(CONF), PipelineConfig()), kb_df(spark, CONF)
+    ).cache()
+    lab.count()
+    return lab
+
+
+def test_single_split_report(labeled):
+    rep = learn_eval_report(labeled, LearnEvalConfig(sample_cap=0))
+    assert len(rep["folds"]) == 1
+    f = rep["folds"][0]
+    assert f["n_train"] + f["n_test"] == labeled.count()
+    assert rep["mean_f1"] >= 0.8  # separable synthetic signal
+
+
+def test_three_fold_cv(labeled):
+    rep = learn_eval_report(labeled, LearnEvalConfig(n_folds=3, sample_cap=0))
+    assert len(rep["folds"]) == 3
+    total = labeled.count()
+    for f in rep["folds"]:
+        assert f["n_train"] + f["n_test"] == total
+    assert rep["mean_f1"] >= 0.8
+
+
+def test_negative_sampling_path(labeled):
+    rep = learn_eval_report(
+        labeled, LearnEvalConfig(p_keep_negative=0.5, sample_cap=0)
+    )
+    assert rep["mean_f1"] >= 0.8
+
+
+def test_per_relation_report(labeled):
+    tbl = {r["label"]: r for r in per_relation_report(labeled, LearnEvalConfig(sample_cap=0)).collect()}
+    assert set(tbl) >= {"calls", "imports", "extends", "no_relation"}
+    for rel in ("calls", "imports", "extends"):
+        assert tbl[rel]["f1"] >= 0.7, (rel, dict(tbl[rel].asDict()))

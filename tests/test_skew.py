@@ -1,0 +1,74 @@
+"""Skew-handling operators: salted two-phase aggregation correctness and
+plan shape."""
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.skew import (
+    repo_entity_inventory,
+    salted_agg,
+    salted_distinct_count,
+    with_salt,
+)
+
+
+def test_with_salt_deterministic_and_bounded(spark):
+    df = spark.createDataFrame([(i, f"v{i%7}") for i in range(500)], ["id", "v"])
+    a = {(r["id"], r["_salt"]) for r in with_salt(df, ["id"], 8).collect()}
+    b = {(r["id"], r["_salt"]) for r in with_salt(df.repartition(5), ["id"], 8).collect()}
+    assert a == b
+    assert all(0 <= s < 8 for _, s in a)
+    assert len({s for _, s in a}) > 1  # actually spreads
+
+
+def test_salted_agg_equals_unsalted(spark):
+    # mega-key skew: key "hot" holds 90% of rows
+    rows = [("hot", f"e{i % 40}") for i in range(900)] + [
+        (f"cold{i}", f"e{i}") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, ["repo", "entity"])
+    salted = salted_agg(
+        df,
+        ["repo"],
+        partial=[F.collect_set("entity").alias("ents")],
+        final=[
+            F.array_sort(F.array_distinct(F.flatten(F.collect_list("ents")))).alias("ents")
+        ],
+        n_salts=8,
+    )
+    plain = df.groupBy("repo").agg(F.array_sort(F.collect_set("entity")).alias("ents"))
+    s = {r["repo"]: r["ents"] for r in salted.collect()}
+    p = {r["repo"]: r["ents"] for r in plain.collect()}
+    assert s == p
+    assert len(s["hot"]) == 40
+
+
+def test_salted_distinct_count(spark):
+    rows = [("hot", f"e{i % 123}") for i in range(2000)] + [("cold", "x")]
+    df = spark.createDataFrame(rows, ["repo", "entity"])
+    got = {r["repo"]: r["n_distinct"] for r in salted_distinct_count(df, ["repo"], "entity").collect()}
+    assert got == {"hot": 123, "cold": 1}
+
+
+def test_repo_entity_inventory(spark):
+    triples = spark.createDataFrame(
+        [("a", "calls", "b", "r1"), ("b", "calls", "c", "r1"), ("x", "calls", "y", "r2")],
+        ["subj", "pred", "obj", "repo"],
+    )
+    inv = {r["repo"]: (r["entities"], r["n_entities"]) for r in repo_entity_inventory(triples).collect()}
+    assert inv["r1"] == (["a", "b", "c"], 3)
+    assert inv["r2"] == (["x", "y"], 2)
+
+
+def test_two_phase_plan_has_two_aggregates(spark):
+    df = spark.createDataFrame([("k", "v")], ["repo", "entity"])
+    out = salted_agg(
+        df,
+        ["repo"],
+        partial=[F.collect_set("entity").alias("ents")],
+        final=[F.flatten(F.collect_list("ents")).alias("ents")],
+        n_salts=4,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the rewrite must produce two separate aggregate exchanges: one keyed
+    # by (repo, _salt), one keyed by repo
+    assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2

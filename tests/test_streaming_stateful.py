@@ -1,0 +1,44 @@
+"""Stateful streaming dedup: duplicates dropped across micro-batches via
+checkpointed group state."""
+
+from rex_spark.streaming.ingest import read_document_stream
+from rex_spark.streaming.stateful import streaming_exact_dedup
+
+
+def _append_docs(spark, path, docs):
+    spark.createDataFrame(docs, "doc_id string, content string").coalesce(1).write.mode(
+        "append"
+    ).parquet(path)
+
+
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    schema = "doc_id string, content string"
+
+    def trigger():
+        stream = read_document_stream(spark, src, schema)
+        deduped = streaming_exact_dedup(stream)
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", chk)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: d2 duplicates d1's content within the batch
+    _append_docs(spark, src, [("d1", "same text"), ("d2", "same text"), ("d3", "other")])
+    trigger()
+    rows = {(r["doc_id"], r["content"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("d1", "same text"), ("d3", "other")}
+
+    # batch 2: re-ingests batch-1 content (cross-batch dup via STATE) plus
+    # one genuinely new doc
+    _append_docs(spark, src, [("d9", "same text"), ("d4", "fresh")])
+    trigger()
+    rows = {(r["doc_id"], r["content"]) for r in spark.read.parquet(out).collect()}
+    assert rows == {("d1", "same text"), ("d3", "other"), ("d4", "fresh")}
