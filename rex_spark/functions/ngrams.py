@@ -28,13 +28,14 @@ def left_window(tokens: Sequence[str], index: int, width: int) -> list[str]:
 
 
 def right_window(tokens: Sequence[str], index: int, width: int) -> list[str]:
-    """Tokens in ``(index, index+width]``. rex AdjacentFeatures.scala:12-13."""
-    start = index + 1
-    if start < 0:
-        start = 0
+    """Tokens in ``(index, index+width]``. rex AdjacentFeatures.scala:12-13.
+    Scala ``slice`` clamps BOTH bounds to >= 0 (a negative end is empty,
+    not Python's wrap-around)."""
+    start = max(0, index + 1)
+    end = max(0, index + 1 + width)
     if start >= len(tokens):
         return []
-    return list(tokens[start : index + 1 + width])
+    return list(tokens[start:end])
 
 
 def _select_k_skip_gram(s: Sequence[str], n: int, k: int) -> list[str]:

@@ -1,0 +1,108 @@
+"""Property-based tests (hypothesis) for the semantic kernels."""
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from rex_spark.functions.candidates import sentence_pairs, sentence_pairs_windowed
+from rex_spark.functions.chunking import chunk_groups, chunk_sentence, old_to_new_indices
+from rex_spark.functions.featurize import filter_and_reindex
+from rex_spark.functions.filters import KNOWN_PUNCT, detokenize, no_known_punct
+from rex_spark.functions.hashing import hash_feature, murmur3_32
+from rex_spark.functions.ngrams import k_skip_ngrams, left_window, right_window
+from rex_spark.functions.normalize import normalize
+
+tokens_st = st.lists(st.text(alphabet="abcXYZ0_'() ", min_size=1, max_size=8), max_size=12)
+words_st = st.lists(st.text(alphabet="abcdef", min_size=1, max_size=5), min_size=0, max_size=10)
+
+
+@given(words_st)
+def test_zero_skip_bigrams_are_contiguous(words):
+    grams = [g for g in k_skip_ngrams(words, 2, 0) if "," in g]
+    expected = [f"{a},{b}" for a, b in zip(words, words[1:])]
+    assert grams == expected
+
+
+@given(words_st, st.integers(0, 4))
+def test_skipgrams_contain_all_unigrams(words, k):
+    grams = set(k_skip_ngrams(words, 2, k))
+    for w in words:
+        assert w in grams or not words
+
+
+@given(words_st, st.integers(-3, 15), st.integers(0, 5))
+def test_windows_never_error_and_bounded(words, idx, width):
+    lw = left_window(words, idx, width)
+    rw = right_window(words, idx, width)
+    assert len(lw) <= width and len(rw) <= width
+    for w in lw + rw:
+        assert w in words
+
+
+@given(st.lists(st.tuples(st.text(max_size=4), st.booleans()), max_size=12),
+       st.integers(0, 11), st.integers(0, 11))
+def test_filter_and_reindex_invariants(pairs, qi, ai):
+    filtered, q, a = filter_and_reindex(pairs, qi, ai)
+    assert filtered == [w for w, keep in pairs if keep]
+    assert q <= qi and a <= ai
+    # all-kept case: indices unchanged
+    if all(keep for _, keep in pairs):
+        assert (q, a) == (qi, ai)
+
+
+@given(st.lists(st.booleans(), max_size=10))
+def test_sentence_pairs_count(keep):
+    k = sum(keep)
+    pairs = sentence_pairs(keep)
+    assert len(pairs) == k * (k - 1)
+    assert all(q != a for q, a in pairs)
+    wide = sentence_pairs_windowed(keep, 100)
+    assert set(wide) == set(pairs)
+
+
+@given(st.lists(st.sampled_from(["O", "A", "B"]), min_size=2, max_size=15))
+def test_chunk_groups_partition_indices(entities):
+    groups = chunk_groups(entities)
+    flat = [i for g in groups for i in g]
+    assert flat == list(range(len(entities)))
+    mapping = old_to_new_indices(groups)
+    assert sorted(mapping) == list(range(len(entities)))
+    assert sorted(set(mapping.values())) == list(range(len(groups)))
+
+
+@given(st.lists(st.sampled_from(["O", "A", "B"]), min_size=2, max_size=15))
+def test_chunk_sentence_lengths_consistent(entities):
+    tokens = [f"t{i}" for i in range(len(entities))]
+    tags = [f"g{i}" for i in range(len(entities))]
+    toks, tgs, ents, groups = chunk_sentence(tokens, tags, entities)
+    assert len(toks) == len(tgs) == len(ents) == len(groups)
+
+
+@given(st.text(max_size=40))
+def test_normalize_properties(s):
+    n = normalize(s)
+    assert n == n.lower()
+    for ch in "'\"_()[]{}":
+        assert ch not in n
+    assert not n.startswith(" ") or n == ""  # trimmed before edits
+
+
+@given(st.text(max_size=30))
+def test_murmur3_deterministic_and_int32(s):
+    h = murmur3_32(s.encode("utf-8"))
+    assert -(2**31) <= h < 2**31
+    assert h == murmur3_32(s.encode("utf-8"))
+    assert 0 <= hash_feature(s, 101) < 101
+
+
+@given(words_st)
+def test_detokenize_no_space_before_punct(words):
+    out = detokenize(words)
+    for p in KNOWN_PUNCT:
+        assert f" {p}" not in out or p in "".join(words)
+
+
+@given(words_st)
+def test_no_known_punct_mask(words):
+    mask = no_known_punct(words)
+    for w, keep in zip(words, mask):
+        assert keep == (w not in KNOWN_PUNCT)
