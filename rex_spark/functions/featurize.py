@@ -185,6 +185,44 @@ def featurize_coref_candidate(
     return dict(Counter(feats))
 
 
+def featurize_sentence_pairs(
+    tokens: Sequence[str],
+    pairs: Sequence[tuple[int, int]],
+    *,
+    adjacent_width: int | None = 2,
+    inside_ngram: int | None = 2,
+    inside_skip: int = 4,
+    tags: Sequence[str] | None = None,
+    direction_feature: bool = False,
+) -> list[dict[str, float]]:
+    """Feature bags for MANY candidate pairs of one sentence — identical
+    output to calling ``featurize_sentence_candidate`` per pair, but the
+    per-sentence work (punct mask, lowercase view, zipped pairs) is
+    computed once. This is the fused-operator hot path (~6 pairs share
+    each sentence on real corpora)."""
+    from .filters import no_known_punct, view_lowercase
+
+    keep = no_known_punct(tokens, tags)
+    viewed = view_lowercase(tokens)
+    vk = list(zip(viewed, keep))
+    out: list[dict[str, float]] = []
+    for qi, ai in pairs:
+        feats: list[str] = []
+        if adjacent_width is not None:
+            feats.extend(adjacency_windows_one_sentence(vk, qi, ai, adjacent_width))
+        if inside_ngram is not None:
+            feats.extend(
+                inside_feature_strings(
+                    tokens, keep, viewed, min(qi, ai) + 1, max(qi, ai),
+                    inside_ngram, inside_skip,
+                )
+            )
+        if direction_feature:
+            feats.append("dir:fwd" if qi < ai else "dir:rev")
+        out.append(dict(Counter(feats)))
+    return out
+
+
 def aggregate_feature_bags(bags: Sequence[dict[str, float]]) -> dict[str, float]:
     """Sum magnitudes per feature key. rex Pipeline.scala:31-46."""
     total: Counter[str] = Counter()

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.candidates import sentence_pairs, sentence_pairs_windowed
-from ..functions.featurize import featurize_sentence_candidate
+from ..functions.featurize import featurize_sentence_candidate, featurize_sentence_pairs
 from ..functions.filters import no_known_punct
 from ..functions.hashing import DEFAULT_FEATURE_SPACE, hash_feature_bag
 
@@ -203,7 +203,21 @@ def candidates_from_docs(
                         pairs = sentence_pairs(keep)
                     else:
                         pairs = sentence_pairs_windowed(keep, cf.max_gap)
-                    for q, a in pairs:
+                    if not pairs:
+                        continue
+                    if featurize_on or hashed:
+                        bags = featurize_sentence_pairs(
+                            tokens,
+                            pairs,
+                            adjacent_width=cf.adjacent_width,
+                            inside_ngram=cf.inside_ngram,
+                            inside_skip=cf.inside_skip,
+                            tags=tags,
+                            direction_feature=cf.direction_feature,
+                        )
+                    else:
+                        bags = [{}] * len(pairs)
+                    for (q, a), bag in zip(pairs, bags):
                         cols["doc_id"].append(doc_id)
                         cols["sent_idx"].append(si)
                         cols["q_idx"].append(q)
@@ -212,25 +226,12 @@ def candidates_from_docs(
                         cols["answer_w"].append(tokens[a])
                         cols["query_ent"].append(ents[q])
                         cols["answer_ent"].append(ents[a])
-                        if featurize_on or hashed:
-                            bag = featurize_sentence_candidate(
-                                tokens,
-                                q,
-                                a,
-                                adjacent_width=cf.adjacent_width,
-                                inside_ngram=cf.inside_ngram,
-                                inside_skip=cf.inside_skip,
-                                tags=tags,
-                                direction_feature=cf.direction_feature,
-                            )
-                            if hashed:
-                                idx, val = hash_feature_bag(bag, cf.hash_space)
-                                cols["f_idx"].append(idx)
-                                cols["f_val"].append(val)
-                            else:
-                                cols["features"].append(bag)
-                        elif not hashed:
-                            cols["features"].append({})
+                        if hashed:
+                            idx, val = hash_feature_bag(bag, cf.hash_space)
+                            cols["f_idx"].append(idx)
+                            cols["f_val"].append(val)
+                        else:
+                            cols["features"].append(bag)
                         for c, src in zip(carry_cols, rowvals[2:]):
                             cols[c].append(src)
             yield pd.DataFrame(cols)

@@ -1,0 +1,49 @@
+"""AQE skew-join splitting: the engine's large-large join safety net.
+
+The engine broadcasts every small side it controls; for genuinely
+large-large joins (e.g. candidates x per-repo stats) the session factory
+enables spark.sql.adaptive.skewJoin. This test proves the config is
+live: a mega-key join executes with AQE marking the skewed partition
+split (``skew=true`` in the final sort-merge join node).
+"""
+
+from pyspark.sql import functions as F
+
+
+def test_aqe_skew_join_splits(spark):
+    confs = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # left: 200k rows, ~95% on one hot key; right: one row per key
+        left = spark.range(200_000).select(
+            F.when(F.col("id") % 20 == 0, F.col("id") % 7).otherwise(F.lit(0)).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("payload"),
+        )
+        right = spark.range(7).select(F.col("id").alias("k"), F.col("id").alias("r"))
+        # keep the payload referenced so the hot partition's shuffle bytes
+        # stay above the (lowered) skew threshold
+        joined = left.join(right, "k").select(F.sum(F.length("payload")).alias("n"))
+        # run the DataFrame's OWN query execution so AQE finalizes it
+        assert joined.collect()[0]["n"] > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_session_defaults_enable_skew_handling(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
