@@ -393,6 +393,61 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triples_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SAME semantics as triples_distant but through the engine's fused
+    # mapInPandas path (lexer -> pair-gen), proving the Python path agrees
+    # with the JVM path AND the DuckDB oracle.
+    from rex_spark.operators.candidates import CandidateConfig, candidates_from_docs
+    from rex_spark.operators.lexer import LexerConfig
+
+    docs = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    lexicon = {w: "ENT" for w in ENTITY_WORDS}
+    cands = candidates_from_docs(
+        docs,
+        lexicon,
+        LexerConfig(max_sentence_tokens=1_000_000),  # one sentence per doc
+        CandidateConfig(
+            candidate_filter="entities",
+            max_gap=MAX_GAP,
+            adjacent_width=None,
+            inside_ngram=None,
+            hash_space=None,
+        ),
+    )
+    kb = _kb_df(spark)
+    j = cands.join(
+        F.broadcast(kb),
+        (cands["query_w"] == kb["subj"]) & (cands["answer_w"] == kb["obj"]),
+        "inner",
+    )
+    return j.groupBy(
+        F.col("query_w").alias("subj"),
+        F.col("rel").alias("pred"),
+        F.col("answer_w").alias("obj"),
+    ).agg(F.count(F.lit(1)).alias("support"))
+
+
+def q_triples_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only: model training is not SQL-expressible. Distant labels
+    # supervise an OvR linear model over the synthetic corpus; emitted
+    # distinct triples returned.
+    from rex_spark.plans.pipeline import (
+        PipelineConfig,
+        distinct_triples,
+        extract_triples_learned,
+    )
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    conf = CorpusConfig(n_docs=150, n_entities=40, n_kb=60, n_repos=8, seed=7)
+    docs = corpus_df(spark, conf, partitions=8)
+    triples, _, _ = extract_triples_learned(
+        docs, kb_df(spark, conf), make_lexicon(conf), PipelineConfig(), sample_cap=50_000
+    )
+    return distinct_triples(triples)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -417,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "triples_fused_pipeline": q_triples_fused_pipeline,
+        "triples_learned": q_triples_learned,
     }
 
 
@@ -466,6 +523,12 @@ def oracle_sql() -> dict[str, str]:
             WITH pairs AS ({_SQL_PAIRS})
             SELECT query_w, answer_w, count(*) AS n_pairs
             FROM pairs GROUP BY query_w, answer_w
+        """,
+        "triples_fused_pipeline": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT query_w AS subj, label AS pred, answer_w AS obj, count(*) AS support
+            FROM lab WHERE label <> '{NO_RELATION}'
+            GROUP BY 1, 2, 3
         """,
         "triples_distant": f"""
             WITH lab AS ({_SQL_LABELED})

@@ -53,6 +53,10 @@ def main() -> None:
         "segment_revenue",
         "ngram_jaccard",
         "ann_cosine_topk",
+        "quality_stats",
+        "connected_components",
+        "triples_fused_pipeline",
+        "dedup_minhash",
     ]
 
     # warm the JVM + parquet footers once (not timed)
@@ -81,6 +85,30 @@ def main() -> None:
 
     # headline: end-to-end triple emission rate of the featurized pipeline
     triples_per_sec = n_kg / kg_sec if kg_sec > 0 else 0.0
+
+    # learned path (train + broadcast-matmul score) at a fixed small scale
+    from rex_spark.plans.pipeline import extract_triples_learned
+
+    sconf = CorpusConfig(n_docs=1500, n_entities=200, n_kb=300, n_repos=40, seed=7)
+    sdocs = corpus_df(spark, sconf, partitions=cpus)
+    t0 = time.perf_counter()
+    ltriples, _, _ = extract_triples_learned(
+        sdocs, kb_df(spark, sconf), make_lexicon(sconf), PipelineConfig(), sample_cap=60_000
+    )
+    ltriples.count()
+    timings["kg_pipeline_learned"] = round(time.perf_counter() - t0, 4)
+
+    # entity linking: blocking + connected components over triple mentions
+    from pyspark.sql import functions as F
+
+    from rex_spark.operators.linking import canonical_mention_map
+
+    t0 = time.perf_counter()
+    mentions = triples.select(F.col("subj").alias("mention")).union(
+        triples.select(F.col("obj").alias("mention"))
+    )
+    canonical_mention_map(mentions).count()
+    timings["entity_linking_cc"] = round(time.perf_counter() - t0, 4)
 
     total = round(sum(timings.values()), 4)
     print(

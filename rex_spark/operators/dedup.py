@@ -38,29 +38,52 @@ def _hash_params(n: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
+_FNV = np.uint64(1_099_511_628_211)
+
+
 def shingle_set(text: str, k: int = 5) -> np.ndarray:
-    """crc32 hashes of character k-shingles (deterministic, fast)."""
-    if len(text) < k:
-        return np.array([zlib.crc32(text.encode("utf-8"))], dtype=np.int64)
-    enc = text.encode("utf-8", "ignore")
-    # byte-level shingles: stable and allocation-light
-    out = {zlib.crc32(enc[i : i + k]) for i in range(len(enc) - k + 1)}
-    return np.fromiter(out, dtype=np.int64, count=len(out))
+    """Hashes of byte-level k-shingles — fully vectorized: sliding windows
+    dotted with FNV-prime powers under uint64 wraparound (deterministic
+    polynomial fingerprint, no per-shingle Python)."""
+    enc = np.frombuffer(text.encode("utf-8", "ignore"), dtype=np.uint8)
+    if len(enc) < k:
+        return np.array([zlib.crc32(bytes(enc))], dtype=np.int64)
+    windows = np.lib.stride_tricks.sliding_window_view(enc, k).astype(np.uint64)
+    coef = np.empty(k, dtype=np.uint64)
+    coef[0] = 1
+    for i in range(1, k):
+        coef[i] = coef[i - 1] * _FNV  # wraparound intended
+    h = (windows * coef[None, :]).sum(axis=1)  # uint64 wraparound hash
+    return np.unique(h).view(np.int64)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod p minwise signature; vectorized over hash fns."""
-    # (n_hash, n_shingles) without overflow: use python-object fallback-free
-    # int64 math via modular multiply in float128-free way: do it in int64
-    # with numpy's wraparound avoided by using %_MERSENNE on int128 via
-    # object? Simpler: use np.uint64 arithmetic mod 2^61-1 in two steps.
-    x = shingles.astype(np.uint64)
-    sig = np.empty(len(a), dtype=np.int64)
-    for i in range(len(a)):
-        v = (x * np.uint64(a[i])) % np.uint64(_MERSENNE)
-        v = (v + np.uint64(b[i])) % np.uint64(_MERSENNE)
-        sig[i] = int(v.min())
-    return sig
+    """(a*x + b) mod p minwise signature, fully vectorized: one
+    (n_shingles x n_hashes) broadcast instead of a per-hash Python loop.
+
+    Overflow note: shingles are crc32 (< 2^32) and a < 2^61-1, so the
+    uint64 product overflows; we use object-free splitting: multiply in
+    two 32-bit halves mod p (p = 2^61-1 allows the classic shift trick:
+    (x << 32) mod p computed via masks)."""
+    p = np.uint64(_MERSENNE)
+    x = shingles.astype(np.uint64) & np.uint64(0xFFFFFFFF)  # crc32 < 2^32
+    xx = x[:, None]  # (S, 1)
+    a_ = a.astype(np.uint64)[None, :]  # (1, H), values < p
+    b_ = b.astype(np.uint64)[None, :]
+    a_hi = a_ >> np.uint64(32)  # < 2^29
+    a_lo = a_ & np.uint64(0xFFFFFFFF)  # < 2^32
+    # hi = (a_hi * x) * 2^32 mod p. a_hi*x < 2^61 <= p is exact in uint64;
+    # multiply by 2^32 mod the Mersenne prime via the shift identity
+    # v*2^32 mod (2^61-1) = ((v & (2^29-1)) << 32) + (v >> 29), one fold.
+    hi = a_hi * xx
+    hi = ((hi & np.uint64((1 << 29) - 1)) << np.uint64(32)) + (hi >> np.uint64(29))
+    hi = np.where(hi >= p, hi - p, hi)
+    # lo = a_lo * x < 2^64: exact in uint64, fold 64->61 bits once + adjust
+    lo = a_lo * xx
+    lo = (lo & p) + (lo >> np.uint64(61))
+    lo = np.where(lo >= p, lo - p, lo)
+    v = (hi + lo + b_) % p  # (S, H); sum < 3p fits in uint64
+    return v.min(axis=0).astype(np.int64)
 
 
 def exact_dedup(

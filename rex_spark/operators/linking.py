@@ -104,9 +104,16 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # right-size the per-iteration shuffles: mention graphs are usually
+    # tiny relative to the corpus, and an iteration over 8 rows spread
+    # across 200 shuffle partitions is pure scheduling overhead. One
+    # count() up front picks the parallelism for the whole loop.
+    n_edges = sym.count()
+    parts = max(2, min(int(n_edges / 50_000) + 1, 200))
+    sym = sym.repartition(parts, "v").persist()
     labels = (
         sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
-    ).localCheckpoint()
+    ).repartition(parts, "node").localCheckpoint()
     for _ in range(max_iter):
         neighbor_min = (
             sym.join(labels, sym["v"] == labels["node"])
