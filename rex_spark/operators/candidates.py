@@ -145,7 +145,8 @@ def generate_candidates(
                         cols["features"].append(bag)
                     for c in carry_cols:
                         cols[c].append(rd[c])
-            yield pd.DataFrame(cols)
+            if cols["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(cols)
 
     cols = list(
         dict.fromkeys(["doc_id", "sent_idx", "tokens", "tags", "entities"] + carry_cols)
@@ -234,7 +235,8 @@ def candidates_from_docs(
                             cols["features"].append(bag)
                         for c, src in zip(carry_cols, rowvals[2:]):
                             cols[c].append(src)
-            yield pd.DataFrame(cols)
+            if cols["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(cols)
 
     sel = list(dict.fromkeys([id_col, text_col] + carry_cols))
     return docs.select(*sel).mapInPandas(fn, schema)

@@ -141,6 +141,7 @@ def generate_coref_candidates(
                     cols["answer_w"].append(c["answer_w"])
                     cols["f_idx"].append(idx)
                     cols["f_val"].append(val)
-            yield pd.DataFrame(cols)
+            if cols["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(cols)
 
     return nested_docs.mapInPandas(fn, COREF_CAND_SCHEMA)

@@ -139,7 +139,8 @@ def minhash_lsh_candidates(
                     buckets.append(
                         zlib.crc32(chunk.tobytes() + band.to_bytes(2, "little"))
                     )
-            yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
+            if ids:
+                yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
 
     sigs = docs.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
     x = sigs.alias("x")

@@ -175,7 +175,8 @@ def lex_documents(
                     rows["entities"].append(ents)
                     for c in carry_cols:
                         rows[c].append(rd[c])
-            yield pd.DataFrame(rows)
+            if rows["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(rows)
 
     cols = list(dict.fromkeys([id_col, text_col] + carry_cols))
     return docs.select(*cols).mapInPandas(fn, schema)

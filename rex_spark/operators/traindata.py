@@ -1,0 +1,129 @@
+"""Training-data construction from gold-labeled sentences (E2/E3).
+
+rex ``app/package.scala:45-79``: for each labeled sentence, the gold
+(arg1, arg2, relation) pairs become positive examples REGARDLESS of the
+candidate filter (they are constructed directly as CandidateSentence);
+every generated candidate whose (q, a) is not a gold pair becomes a
+``no_relation`` negative — an anti-join against the gold key set.
+
+Spark-native: negatives come from the narrow candidate generator +
+LEFT ANTI JOIN; positives are featurized directly from the gold rows
+through the same feature kernel (one small pandas stage).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.featurize import featurize_sentence_pairs
+from ..functions.hashing import hash_feature_bag
+from .candidates import CandidateConfig, generate_candidates
+
+NO_RELATION = "no_relation"
+
+_KEY = ["doc_id", "sent_idx", "q_idx", "a_idx"]
+
+_GOLD_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sent_idx", T.IntegerType(), False),
+        T.StructField("q_idx", T.IntegerType(), False),
+        T.StructField("a_idx", T.IntegerType(), False),
+        T.StructField("query_w", T.StringType(), False),
+        T.StructField("answer_w", T.StringType(), False),
+        T.StructField("f_idx", T.ArrayType(T.IntegerType()), False),
+        T.StructField("f_val", T.ArrayType(T.DoubleType()), False),
+        T.StructField("label", T.StringType(), False),
+    ]
+)
+
+
+def _with_sentence_ids(df: DataFrame) -> DataFrame:
+    """UIUC reader output (file, block_id, ...) -> (doc_id, sent_idx, ...)."""
+    out = df
+    if "doc_id" not in out.columns and "file" in out.columns:
+        out = out.withColumn("doc_id", F.col("file"))
+    if "sent_idx" not in out.columns and "block_id" in out.columns:
+        out = out.withColumn("sent_idx", F.col("block_id").cast("int"))
+    return out
+
+
+def _featurize_gold(sents: DataFrame, gold: DataFrame, conf: CandidateConfig) -> DataFrame:
+    joined = gold.join(
+        sents.select("doc_id", "sent_idx", "tokens", "tags"), ["doc_id", "sent_idx"]
+    )
+    spark = joined.sparkSession
+    bconf = spark.sparkContext.broadcast(conf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf: CandidateConfig = bconf.value
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in _GOLD_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                tokens = list(row.tokens)
+                tags = list(row.tags) if row.tags is not None else None
+                q, a = int(row.q_idx), int(row.a_idx)
+                if q >= len(tokens) or a >= len(tokens):
+                    continue
+                bag = featurize_sentence_pairs(
+                    tokens,
+                    [(q, a)],
+                    adjacent_width=cf.adjacent_width,
+                    inside_ngram=cf.inside_ngram,
+                    inside_skip=cf.inside_skip,
+                    tags=tags,
+                    direction_feature=cf.direction_feature,
+                )[0]
+                idx, val = hash_feature_bag(bag, cf.hash_space or 262_147)
+                cols["doc_id"].append(row.doc_id)
+                cols["sent_idx"].append(int(row.sent_idx))
+                cols["q_idx"].append(q)
+                cols["a_idx"].append(a)
+                cols["query_w"].append(tokens[q])
+                cols["answer_w"].append(tokens[a])
+                cols["f_idx"].append(idx)
+                cols["f_val"].append(val)
+                cols["label"].append(row.label)
+            if cols["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(cols)
+
+    return joined.mapInPandas(fn, _GOLD_SCHEMA)
+
+
+def training_data_from_gold(
+    sentences: DataFrame,
+    gold: DataFrame,
+    conf: CandidateConfig | None = None,
+) -> DataFrame:
+    """sentences(doc_id|file, sent_idx|block_id, tokens, tags, entities) +
+    gold(doc_id, sent_idx, q_idx, a_idx, label) ->
+    labeled featurized candidates: gold pairs keep their relation (even
+    if the candidate filter would reject their endpoints); every other
+    generated candidate is ``no_relation`` (rex mkTrainData)."""
+    conf = conf or CandidateConfig(candidate_filter="ids")
+    sents = _with_sentence_ids(sentences)
+    gold = _with_sentence_ids(gold)
+    positives = _featurize_gold(sents, gold, conf)
+    cands = generate_candidates(
+        sents.select("doc_id", "sent_idx", "tokens", "tags", "entities"), conf
+    )
+    gold_keys = gold.select(*_KEY).distinct()
+    negatives = (
+        cands.join(gold_keys, _KEY, "left_anti")
+        .withColumn("label", F.lit(NO_RELATION))
+        .select(*[f.name for f in _GOLD_SCHEMA.fields])
+    )
+    return positives.unionByName(negatives)
+
+
+def positive_training_data(
+    sentences: DataFrame, gold: DataFrame, conf: CandidateConfig | None = None
+) -> DataFrame:
+    """E3: gold pairs only (rex mkPositiveTrainData, app/package.scala:70-79)."""
+    conf = conf or CandidateConfig(candidate_filter="ids")
+    return _featurize_gold(_with_sentence_ids(sentences), _with_sentence_ids(gold), conf)

@@ -1,0 +1,94 @@
+"""E2/E3 training-data construction: gold + anti-joined negatives; full
+UIUC-format loop (read -> train-data -> learn_eval)."""
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.candidates import CandidateConfig
+from rex_spark.operators.traindata import (
+    NO_RELATION,
+    positive_training_data,
+    training_data_from_gold,
+)
+
+
+def _sentences(spark):
+    rows = [
+        ("s1", 0,
+         ["Alice", "founded", "Acme", "."],
+         ["ID", "KW", "ID", "PUNCT"],
+         ["PER", "O", "ORG", "O"]),
+        ("s2", 0,
+         ["Bob", "visited", "Rome", "."],
+         ["ID", "KW", "ID", "PUNCT"],
+         ["PER", "O", "LOC", "O"]),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id string, sent_idx int, tokens array<string>, "
+        "tags array<string>, entities array<string>"
+    )
+
+
+def _gold(spark):
+    return spark.createDataFrame(
+        [("s1", 0, 0, 2, "founder_of")],
+        "doc_id string, sent_idx int, q_idx int, a_idx int, label string",
+    )
+
+
+def test_training_data_from_gold(spark):
+    td = training_data_from_gold(
+        _sentences(spark), _gold(spark), CandidateConfig(candidate_filter="ids")
+    )
+    rows = td.collect()
+    by_key = {(r["doc_id"], r["q_idx"], r["a_idx"]): r["label"] for r in rows}
+    # the gold pair carries its relation
+    assert by_key[("s1", 0, 2)] == "founder_of"
+    # the reverse direction and all other generated pairs are negatives
+    assert by_key[("s1", 2, 0)] == NO_RELATION
+    assert by_key[("s2", 0, 2)] == NO_RELATION
+    # no duplicate keys; features present everywhere
+    assert len(by_key) == len(rows)
+    assert all(len(r["f_idx"]) > 0 for r in rows)
+
+
+def test_gold_kept_even_when_filter_rejects(spark):
+    # candidate filter 'entities' with entity 'O' on "founded" would never
+    # generate (1, 2); a gold pair on it must still survive (rex builds
+    # gold CandidateSentences directly)
+    gold = spark.createDataFrame(
+        [("s1", 0, 1, 2, "weird_rel")],
+        "doc_id string, sent_idx int, q_idx int, a_idx int, label string",
+    )
+    td = training_data_from_gold(
+        _sentences(spark), gold, CandidateConfig(candidate_filter="entities")
+    )
+    got = {(r["q_idx"], r["a_idx"]): r["label"] for r in td.where("doc_id='s1'").collect()}
+    assert got[(1, 2)] == "weird_rel"
+
+
+def test_positive_training_data(spark):
+    pos = positive_training_data(_sentences(spark), _gold(spark))
+    rows = pos.collect()
+    assert len(rows) == 1 and rows[0]["label"] == "founder_of"
+    assert rows[0]["query_w"] == "Alice" and rows[0]["answer_w"] == "Acme"
+
+
+def test_uiuc_end_to_end_learn(spark, tmp_path):
+    # full loop: UIUC text -> reader -> train data -> memorizing model
+    from tests.test_uiuc import EXAMPLE
+    from rex_spark.operators.learn import score_candidates, train_ovr_linear
+    from rex_spark.sources.uiuc import read_uiuc, training_pairs_from_uiuc
+
+    p = tmp_path / "corpus.txt"
+    p.write_text(EXAMPLE)
+    sents = read_uiuc(spark, str(p))
+    gold = training_pairs_from_uiuc(sents).select(
+        "file", "block_id", "q_idx", "a_idx", "label"
+    )
+    td = training_data_from_gold(sents, gold, CandidateConfig(candidate_filter="ids"))
+    model = train_ovr_linear(td, sample_cap=0)
+    scored = score_candidates(td, model)
+    # the tiny corpus is separable: the model reproduces the gold labels
+    agree = scored.where("pred = label").count() / scored.count()
+    assert agree >= 0.95
+    assert scored.where("label = 'kill' and pred = 'kill'").count() >= 3
