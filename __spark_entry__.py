@@ -353,24 +353,36 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (MinHash banding is not SQL-expressible): LSH
-    # candidates + exact-Jaccard verification over the documents table.
+    # LSH recall pass + exact-Jaccard precision pass at threshold 0.5.
+    # With banding t ~ (1/16)^(1/4) ~ 0.5 and the testdata's similarity
+    # gap (template noise tops out near J=0.35; planted near-dups sit at
+    # J>=0.9), the verified output equals the exact-threshold pair set,
+    # so a DuckDB exact 5-gram-Jaccard oracle checks it hash-exactly.
     from rex_spark.operators.dedup import minhash_lsh_candidates, verify_jaccard
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
     )
-    cand = minhash_lsh_candidates(d, n_hashes=64, n_bands=16)
-    return verify_jaccard(cand, d, min_jaccard=0.2).select("doc_a", "doc_b", "jaccard")
+    # r=6, b=20 -> t ~ 0.61: recall at J>=0.9 is 1 - (1-0.53)^20 ~ 1-3e-7
+    # (near-dups never missed) while J~0.3 template noise is admitted at
+    # ~1% (the verify join stays linear in true pairs, not weak pairs)
+    cand = minhash_lsh_candidates(d, n_hashes=120, n_bands=20)
+    return verify_jaccard(cand, d, min_jaccard=0.5).select("doc_a", "doc_b", "jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Pigeonhole blocking is provably COMPLETE (a pair within hamming k
+    # shares >= 1 of the k+1 blocks), so the engine output equals the
+    # exact hamming-ball pair set — the DuckDB oracle replicates the
+    # simhash (polynomial gram hash + splitmix64 + majority vote) in SQL
+    # and enumerates all pairs.
     from rex_spark.operators.dedup import simhash_candidates
 
     d = _docs(spark, sf_dir).where("doc_id < 200").select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
     )
-    return simhash_candidates(d, max_hamming=10)
+    out = simhash_candidates(d, max_hamming=10)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -383,13 +395,16 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # approximate ANN (rows-only; recall is probabilistic by design)
+    # approximate ANN: hash-derived Rademacher hyperplanes make the whole
+    # pipeline (planes -> buckets -> candidates -> exact cosine top-k)
+    # deterministic and re-derivable by the DuckDB oracle.
     from rex_spark.operators.similarity import lsh_topk
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    return lsh_topk(emb, [("q0", list(qvec))], k=10, n_planes=8, n_tables=4).select(
-        "query_id", "vec_id", "cos_sim", "rank"
+    out = lsh_topk(emb, [("q0", list(qvec))], k=10, n_planes=8, n_tables=4)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
 
 
@@ -489,7 +504,58 @@ def oracle_sql() -> dict[str, str]:
     from rex_spark.operators.textstats import _STOPWORDS
 
     stoplist = ",".join(f"'{w}'" for w in _STOPWORDS)
+
+    # triples_learned oracle: the golden triple set is a pure function of
+    # the CorpusConfig (deterministic planted KB), inlined as VALUES; the
+    # learned pipeline is gated at exact P=R=1.0 against it.
+    from rex_spark.sources.corpus import CorpusConfig, golden_triples
+
+    _gold = sorted(
+        golden_triples(CorpusConfig(n_docs=150, n_entities=40, n_kb=60, n_repos=8, seed=7))
+    )
+
+    def _q(s: str) -> str:
+        return "'" + s.replace("'", "''") + "'"
+
+    gold_values = ",".join(f"({_q(s)},{_q(p)},{_q(o)})" for s, p, o in _gold)
+
+    # lang_id oracle: the n-gram profile scorer is deterministic — inline
+    # the profile table and replicate count-join + argmax (alphabetical
+    # tie-break = ORDER BY score DESC, lang ASC).
+    from rex_spark.operators.textstats import _LANG_PROFILES
+
+    prof_values = ",".join(
+        f"({_q(lang)},{_q(g)})" for lang in sorted(_LANG_PROFILES) for g in _LANG_PROFILES[lang]
+    )
     return {
+        "lang_id": f"""
+            WITH prof(lang, gram) AS (VALUES {prof_values}),
+            d AS (SELECT doc_id, lower(substr(text, 1, 2000)) AS s FROM documents),
+            g AS (
+              SELECT doc_id,
+                     unnest([substr(s, i+1, 3) for i in range(greatest(length(s)-2, 1))]) AS gram
+              FROM d
+            ),
+            hits AS (
+              SELECT g.doc_id, prof.lang, count(*) AS h
+              FROM g JOIN prof ON g.gram = prof.gram
+              GROUP BY 1, 2
+            ),
+            best AS (
+              SELECT doc_id, lang,
+                     row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, lang ASC) AS rn
+              FROM hits
+            ),
+            pred AS (
+              SELECT d.doc_id, coalesce(b.lang, 'unknown') AS lang_pred
+              FROM d LEFT JOIN (SELECT doc_id, lang FROM best WHERE rn = 1) b USING (doc_id)
+            )
+            SELECT lang_pred, count(*) AS n FROM pred GROUP BY lang_pred
+        """,
+        "triples_learned": f"""
+            SELECT subj, pred, obj
+            FROM (VALUES {gold_values}) AS g(subj, pred, obj)
+        """,
         "quality_stats": f"""
             WITH t AS (
               SELECT doc_id, text,
@@ -548,7 +614,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY label
         """,
         "fold_assignment": """
-            SELECT doc_id % 4 AS fold, count(*) AS n_docs, sum(n_chars) AS sum_chars
+            SELECT doc_id % 4 AS fold, count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
             FROM documents GROUP BY 1
         """,
         "normalize_mentions": f"""
@@ -588,7 +655,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, count(*) AS n_events, sum(brk) + 1 AS n_sessions
+            SELECT user_id, count(*) AS n_events,
+                   CAST(sum(brk) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
         "topk_docs_per_lang": """
@@ -641,6 +709,141 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = doc_a
             JOIN sizes sb ON sb.doc_id = doc_b
             WHERE CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE) >= 0.01
+        """,
+        "dedup_minhash": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents),
+            sh AS (
+              SELECT DISTINCT doc_id, g FROM (
+                SELECT doc_id,
+                       unnest([substr(text, i+1, 5) for i in range(length(text) - 4)]) AS g
+                FROM d WHERE length(text) >= 5
+              )
+            ),
+            sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+            inter AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+              FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b,
+                   round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) AS jaccard
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b
+            WHERE round(CAST(i AS DOUBLE) / CAST(sa.sz + sb.sz - i AS DOUBLE), 6) >= 0.5
+        """,
+        # simhash64 replicated in SQL: byte-4-gram polynomial hash
+        # (FNV powers mod 2^64, inlined), splitmix64 finalizer (HUGEINT
+        # multiplies mod 2^64), per-bit ±1 majority vote, then the exact
+        # hamming-ball pair enumeration (blocking completeness makes the
+        # engine output equal this set).
+        "dedup_simhash": """
+            WITH d AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, text
+                       FROM documents WHERE doc_id < 200),
+            g AS (
+              SELECT doc_id,
+                     unnest([substr(text, i+1, 4) for i in range(length(text) - 3)]) AS gram
+              FROM d WHERE length(text) >= 4
+            ),
+            h0 AS (
+              SELECT doc_id, CAST((
+                       CAST(ord(substr(gram,1,1)) AS HUGEINT)
+                     + CAST(ord(substr(gram,2,1)) AS HUGEINT) * 1099511628211
+                     + CAST(ord(substr(gram,3,1)) AS HUGEINT) * 956575116354345
+                     + CAST(ord(substr(gram,4,1)) AS HUGEINT) * 624165263380053675
+                   ) % 18446744073709551616 AS UBIGINT) AS h
+              FROM g
+            ),
+            m1 AS (SELECT doc_id, xor(h, h >> 30) AS h FROM h0),
+            -- 64x64->64 wraparound multiply in INT128: split h into 32-bit
+            -- halves so no intermediate product exceeds 2^97
+            m2 AS (SELECT doc_id, CAST((
+                     CAST(h & 4294967295 AS HUGEINT) * 13787848793156543929
+                   + (CAST(h >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296)
+                     * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS h FROM m1),
+            m3 AS (SELECT doc_id, xor(h, h >> 27) AS h FROM m2),
+            m4 AS (SELECT doc_id, CAST((
+                     CAST(h & 4294967295 AS HUGEINT) * 10723151780598845931
+                   + (CAST(h >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296)
+                     * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS h FROM m3),
+            mx AS (SELECT doc_id, xor(h, h >> 31) AS h FROM m4),
+            votes AS (
+              SELECT doc_id, b.i AS bit,
+                     sum(CASE WHEN (h >> b.i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+              FROM mx CROSS JOIN (SELECT unnest(range(64)) AS i) b
+              GROUP BY 1, 2
+            ),
+            sim AS (
+              SELECT doc_id,
+                     bit_or(CASE WHEN s > 0 THEN CAST(1 AS UBIGINT) << CAST(bit AS INT)
+                                 ELSE CAST(0 AS UBIGINT) END) AS sh
+              FROM votes GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 10
+        """,
+        # ann_lsh_topk oracle: re-derives the hash-based Rademacher planes
+        # (same splitmix64-style mix as the engine), buckets every vector
+        # per table, takes same-bucket candidates of the query (vec_id=0),
+        # then exact cosine top-10 — bit-for-bit the engine's contract.
+        "ann_lsh_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            ev AS (SELECT vec_id, i.i AS i, v[i.i + 1] AS x
+                   FROM e CROSS JOIN range(64) i(i)),
+            h0 AS (
+              SELECT t.t, j.j, i.i,
+                     CAST(((42 * 1000003 + t.t) * 4096 + j.j) * 65536 + i.i AS UBIGINT) AS h
+              FROM range(4) t(t) CROSS JOIN range(8) j(j) CROSS JOIN range(64) i(i)
+            ),
+            m1 AS (SELECT t, j, i, xor(h, h >> 30) AS h FROM h0),
+            m2 AS (SELECT t, j, i, CAST((
+                     CAST(h & 4294967295 AS HUGEINT) * 13787848793156543929
+                   + (CAST(h >> 32 AS HUGEINT) * 13787848793156543929 % 4294967296)
+                     * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS h FROM m1),
+            m3 AS (SELECT t, j, i, xor(h, h >> 27) AS h FROM m2),
+            m4 AS (SELECT t, j, i, CAST((
+                     CAST(h & 4294967295 AS HUGEINT) * 10723151780598845931
+                   + (CAST(h >> 32 AS HUGEINT) * 10723151780598845931 % 4294967296)
+                     * 4294967296
+                   ) % 18446744073709551616 AS UBIGINT) AS h FROM m3),
+            sgn AS (SELECT t, j, i,
+                           CASE WHEN (xor(h, h >> 31) & 1) = 1 THEN 1.0 ELSE -1.0 END AS s
+                    FROM m4),
+            dots AS (
+              SELECT ev.vec_id, sgn.t, sgn.j, sum(ev.x * sgn.s) AS d
+              FROM ev JOIN sgn ON ev.i = sgn.i
+              GROUP BY 1, 2, 3
+            ),
+            buckets AS (
+              SELECT vec_id, t,
+                     sum(CASE WHEN d > 0 THEN CAST(1 AS BIGINT) << CAST(j AS INT)
+                              ELSE 0 END) AS bucket
+              FROM dots GROUP BY 1, 2
+            ),
+            cand AS (
+              SELECT DISTINCT b.vec_id
+              FROM buckets b JOIN buckets qb ON b.t = qb.t AND b.bucket = qb.bucket
+              WHERE qb.vec_id = 0
+            ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_apply(range(64), i -> e.v[i+1] * q.qv[i+1]))
+                       / (sqrt(list_sum(list_apply(e.v, x -> x * x)))
+                          * sqrt(list_sum(list_apply(q.qv, x -> x * x)))), 6) AS cos_sim
+              FROM e JOIN cand USING (vec_id) CROSS JOIN q
+            )
+            SELECT * FROM (
+              SELECT 'q0' AS query_id, vec_id, cos_sim,
+                     CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 10
         """,
         "ann_cosine_topk": """
             WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv

@@ -1,5 +1,5 @@
 """Entity linking & canonicalization: salted blocking join + connected
-components by iterative min-label propagation over DataFrames.
+components by alternating large-star/small-star contraction.
 
 This stage has NO reference counterpart (rex's PFOL inference is an
 empty placeholder, ``CandScore.scala:1``); it is required by the
@@ -12,20 +12,30 @@ north_rule. Design:
      deterministic hash — bounded pair fan-out at the cost of
      cross-salt recall, exactly like LSH banding; the salt threshold
      is configurable and the drop is logged in the lineage metrics.
-  3. SIMILARITY: character-trigram Jaccard computed JVM-side
-     (array_intersect/array_union — no Python in the pair loop);
-  4. CONNECTED COMPONENTS: driver loop of min-label propagation with
-     ``localCheckpoint`` per iteration to cut lineage (SURVEY §4.2);
-     converges when no label changes.
+  3. SIMILARITY: character-trigram Jaccard computed JVM-side. The
+     trigram array + its size are materialized ONCE per distinct
+     mention BEFORE the self-join, so the pair stage does a single
+     array_intersect per pair (union size derived as |A|+|B|-|I|) —
+     r1 recomputed the transform+substring chain 4x per pair.
+  4. CONNECTED COMPONENTS: large-star/small-star (Kiveris, Lattanzi,
+     Mirrokni, Rastogi, Vassilvitskii, "Connected Components in
+     MapReduce and Beyond", SoCC 2014) — O(log n) shuffle rounds
+     regardless of component diameter, vs O(diameter) for plain
+     min-label propagation. At 100 TB a skewed mention graph with
+     long chains makes the diameter-bound loop the scale-killer.
   5. canonical id = min normalized mention of the component.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.normalize import normalize_col
+
+log = logging.getLogger(__name__)
 
 
 def _trigrams(col):
@@ -72,19 +82,34 @@ def candidate_link_pairs(
             F.pmod(F.hash("m"), F.ceil(F.col("bsz") / max_block_size)).cast("int"),
         ).otherwise(F.lit(0)),
     ).select("m", F.concat("block", F.lit("~"), "salt").alias("block"))
-
-    a = keyed.alias("a")
-    b = keyed.alias("b")
-    pairs = a.join(b, "block").where(F.col("a.m") < F.col("b.m")).select(
-        F.col("a.m").alias("ma"), F.col("b.m").alias("mb")
+    # materialize the trigram set ONCE per distinct mention (pre-join);
+    # the pair stage then never re-derives it
+    keyed = keyed.withColumn("tg", _trigrams("m")).withColumn(
+        "ntg", F.size("tg").cast("double")
     )
-    with_sim = pairs.select(
+
+    a = keyed.select(
+        "block",
+        F.col("m").alias("ma"),
+        F.col("tg").alias("ta"),
+        F.col("ntg").alias("na"),
+    )
+    b = keyed.select(
+        "block",
+        F.col("m").alias("mb"),
+        F.col("tg").alias("tb"),
+        F.col("ntg").alias("nb"),
+    )
+    pairs = a.join(b, "block").where(F.col("ma") < F.col("mb"))
+    # one array_intersect per pair; |A ∪ B| = |A| + |B| - |A ∩ B|
+    inter = pairs.select(
         "ma",
         "mb",
-        (
-            F.size(F.array_intersect(_trigrams("ma"), _trigrams("mb"))).cast("double")
-            / F.size(F.array_union(_trigrams("ma"), _trigrams("mb"))).cast("double")
-        ).alias("sim"),
+        F.size(F.array_intersect("ta", "tb")).cast("double").alias("i"),
+        (F.col("na") + F.col("nb")).alias("s"),
+    )
+    with_sim = inter.select(
+        "ma", "mb", (F.col("i") / (F.col("s") - F.col("i"))).alias("sim")
     )
     return with_sim.where(F.col("sim") >= min_jaccard)
 
@@ -93,49 +118,87 @@ def connected_components(
     edges: DataFrame,
     src: str = "ma",
     dst: str = "mb",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
-    """(node, component) via min-label propagation. Each iteration is one
-    shuffle; lineage cut with localCheckpoint; early exit on convergence.
+    """(node, component) via alternating large-star / small-star.
+
+    Each round is two bounded shuffles; the edge set contracts toward a
+    star forest (every node pointing at its component minimum) in
+    O(log n) rounds — a length-d path needs ~2*log2(d) rounds, not d.
+    Convergence = edge set fixed point (count + order-independent
+    xxhash64 checksum stable across a round). Lineage is cut with
+    localCheckpoint per round; each checkpoint is the (contracting)
+    edge set, not the full history.
     """
-    sym = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    # materialize the edge projection ONCE: `edges` may carry an arbitrarily
+    # expensive lineage (the full extraction pipeline), and this loop issues
+    # many actions — each must read checkpoint blocks, never re-run upstream
+    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    e0 = base.where(F.col("u") != F.col("v")).distinct()
+    # all nodes that ever appear (so self-loop-only / isolated inputs
+    # still get a label = themselves)
+    nodes = (
+        base.select(F.col("u").alias("node"))
+        .union(base.select(F.col("v").alias("node")))
         .distinct()
-        .persist()
     )
-    # right-size the per-iteration shuffles: mention graphs are usually
-    # tiny relative to the corpus, and an iteration over 8 rows spread
-    # across 200 shuffle partitions is pure scheduling overhead. One
-    # count() up front picks the parallelism for the whole loop.
-    n_edges = sym.count()
+    n_edges = e0.count()
+    if n_edges == 0:
+        return nodes.select("node", F.col("node").alias("comp"))
+    # right-size the per-round shuffles: mention graphs are small
+    # relative to the corpus; 200 partitions for 8 rows is pure
+    # scheduler overhead
     parts = max(2, min(int(n_edges / 50_000) + 1, 200))
-    sym = sym.repartition(parts, "v").persist()
-    labels = (
-        sym.select("u").distinct().select(F.col("u").alias("node"), F.col("u").alias("comp"))
-    ).repartition(parts, "node").localCheckpoint()
+    e = e0.repartition(parts, "u").localCheckpoint()
+    prev: tuple = (-1, None)
+    converged = False
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym["v"] == labels["node"])
-            .groupBy(sym["u"].alias("node"))
-            .agg(F.min("comp").alias("ncomp"))
+        # LARGE-STAR: group the symmetric adjacency by u; attach every
+        # strictly-larger neighbor to m = min(N(u) ∪ {u})
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
         )
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("ncomp"), F.col("comp"))
-                ).alias("comp"),
-                (F.coalesce(F.col("ncomp"), F.col("comp")) < F.col("comp")).alias("chg"),
-            )
-        ).localCheckpoint()
-        changed = new_labels.where("chg").count()
-        labels = new_labels.drop("chg")
-        if changed == 0:
+        # SMALL-STAR: orient edges large->small; attach u and all its
+        # smaller neighbors to the minimum neighbor
+        oriented = large.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            oriented.join(smin, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(smin.select("u", F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        e = small.repartition(parts, "u").localCheckpoint()
+        sig = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: immune to long overflow under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("cs"),
+        ).first()
+        cur = (sig["n"], sig["cs"])
+        if cur == prev:
+            converged = True
             break
-    sym.unpersist()
-    return labels
+        prev = cur
+    if not converged:
+        log.warning(
+            "connected_components: not converged after %d rounds; labels may "
+            "split long-diameter components", max_iter,
+        )
+    # e is now a star forest: (node -> component minimum); roots and
+    # isolated nodes label themselves via the left join
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+    return nodes.join(labels, "node", "left").select(
+        "node", F.coalesce("comp", F.col("node")).alias("comp")
+    )
 
 
 def canonical_mention_map(
@@ -147,11 +210,18 @@ def canonical_mention_map(
 ) -> DataFrame:
     """mention (raw) -> (mention, canonical): canonical = component min of
     the normalized form; singletons map to their own normalized form."""
+    # one pass over the (possibly expensive) upstream: the distinct mention
+    # set is checkpointed, then both the edge derivation and the final map
+    # read it back instead of re-running the extraction lineage
+    raw = (
+        mentions.select(F.col(mention_col).alias("mention"))
+        .distinct()
+        .localCheckpoint()
+    )
     edges = candidate_link_pairs(
-        mentions, mention_col, block_prefix_len, max_block_size, min_jaccard
+        raw, "mention", block_prefix_len, max_block_size, min_jaccard
     )
     comps = connected_components(edges)
-    raw = mentions.select(F.col(mention_col).alias("mention")).distinct()
     normed = raw.select("mention", normalize_col(F.col("mention")).alias("m"))
     return normed.join(comps, normed["m"] == comps["node"], "left").select(
         "mention", F.coalesce(F.col("comp"), F.col("m")).alias("canonical")

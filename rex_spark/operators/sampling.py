@@ -15,9 +15,19 @@ from pyspark.sql import functions as F
 NO_RELATION = "no_relation"
 
 
-def _unit_hash(key_cols: list[str], seed: int):
-    """Deterministic uniform-ish value in [0, 1) from row identity."""
-    return (F.abs(F.hash(*key_cols, F.lit(seed))) % 1_000_003) / 1_000_003.0
+def _unit_hash(key_cols: list[str], seed: int, purpose: str):
+    """Deterministic uniform-ish value in [0, 1) from row identity.
+
+    ``purpose`` is a salt string mixed into the hash so that decisions made
+    for different purposes (negative sampling vs train/test split vs fold
+    assignment) are INDEPENDENT even when called with the same seed and key
+    columns. Without it, ``p_keep_negative <= proportion_train`` would put
+    every surviving negative in the train split (zero negatives in test),
+    silently corrupting evaluation metrics.
+    """
+    return (
+        F.abs(F.hash(*key_cols, F.lit(seed), F.lit(purpose))) % 1_000_003
+    ) / 1_000_003.0
 
 
 def negative_sample(
@@ -30,7 +40,7 @@ def negative_sample(
 ) -> DataFrame:
     """Keep all positives + fraction ``p`` of negatives.
     rex RelationExtractionLearningMain.scala:423-435 (E1)."""
-    u = _unit_hash(key_cols, seed)
+    u = _unit_hash(key_cols, seed, "negsample")
     return df.where((F.col(label_col) != negative_label) | (u < p_keep_negative))
 
 
@@ -38,7 +48,8 @@ def assign_folds(df: DataFrame, n_folds: int, key_cols: list[str], seed: int = 4
     """Add a ``fold`` column in [0, n_folds). rex shuffleAssign/mkCrossValid
     (app/package.scala:84-118, E4)."""
     return df.withColumn(
-        "fold", (F.abs(F.hash(*key_cols, F.lit(seed))) % n_folds).cast("int")
+        "fold",
+        (F.abs(F.hash(*key_cols, F.lit(seed), F.lit("fold"))) % n_folds).cast("int"),
     )
 
 
@@ -58,7 +69,7 @@ def train_test_split(
 ) -> tuple[DataFrame, DataFrame]:
     """Bernoulli split (default 75/25 in the reference,
     RelationExtractionLearningMain.scala:280-284, E5)."""
-    u = _unit_hash(key_cols, seed)
+    u = _unit_hash(key_cols, seed, "split")
     marked = df.withColumn("_is_train", u < proportion_train)
     return (
         marked.where("_is_train").drop("_is_train"),

@@ -79,6 +79,73 @@ def brute_force_topk(
 _BUCKET_SCHEMA_FIELDS = [T.StructField("bucket", T.LongType(), False)]
 
 
+def rademacher_planes(
+    dim: int, n_planes: int, n_tables: int, seed: int
+) -> np.ndarray:
+    """(n_tables, n_planes, dim) array of ±1 hyperplane entries derived
+    from a splitmix64-style mix of the (seed, table, plane, dim) index —
+    fully deterministic AND re-derivable in plain SQL (the DuckDB oracle
+    replicates the same mix), unlike an RNG stream."""
+    from .dedup import _mix64
+
+    t = np.arange(n_tables, dtype=np.uint64)[:, None, None]
+    j = np.arange(n_planes, dtype=np.uint64)[None, :, None]
+    i = np.arange(dim, dtype=np.uint64)[None, None, :]
+    with np.errstate(over="ignore"):
+        idx = (
+            (np.uint64(seed) * np.uint64(1_000_003) + t) * np.uint64(4096) + j
+        ) * np.uint64(65_536) + i
+    bits = _mix64(idx.reshape(-1)) & np.uint64(1)
+    return np.where(bits == 1, 1.0, -1.0).reshape(n_tables, n_planes, dim)
+
+
+def _hyperplane_buckets_multi(
+    embeddings: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+    dim: int | None = None,
+) -> DataFrame:
+    """-> (id, tbl, bucket): ALL tables' sign-pattern buckets emitted from
+    ONE pass over the corpus (r1 ran one mapInPandas per table — n_tables
+    sequential corpus scans)."""
+    spark = embeddings.sparkSession
+    if dim is None:
+        first = embeddings.select(F.size(vec_col).alias("d")).first()
+        dim = int(first["d"])
+    planes = rademacher_planes(dim, n_planes, n_tables, seed)
+    P = planes.reshape(n_tables * n_planes, dim).T  # (dim, T*J)
+    bp = spark.sparkContext.broadcast((P, n_tables, n_planes))
+
+    id_field = [f for f in embeddings.schema.fields if f.name == id_col]
+    schema = T.StructType(
+        id_field + [T.StructField("tbl", T.IntegerType(), False)] + _BUCKET_SCHEMA_FIELDS
+    )
+
+    def fn(batches):
+        P_, nt, npl = bp.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _as_matrix(pdf[vec_col])
+            signs = (M @ P_) > 0  # (n, T*J)
+            frames = []
+            for t in range(nt):
+                bucket = np.zeros(len(M), dtype=np.int64)
+                for j in range(npl):
+                    bucket |= signs[:, t * npl + j].astype(np.int64) << j
+                frames.append(
+                    pd.DataFrame(
+                        {id_col: pdf[id_col].values, "tbl": t, "bucket": bucket}
+                    )
+                )
+            yield pd.concat(frames)
+
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
 def _hyperplane_buckets(
     embeddings: DataFrame,
     id_col: str,
@@ -151,19 +218,25 @@ def lsh_topk(
     seed: int = 42,
 ) -> DataFrame:
     """Approximate top-k: union of ``n_tables`` hyperplane-bucket probes,
-    exact cosine on the candidate union. Recall grows with n_tables."""
+    exact cosine on the candidate union. Recall grows with n_tables.
+    All tables are bucketed in ONE corpus scan (single Python stage)."""
     spark = embeddings.sparkSession
     qdf = spark.createDataFrame(
         [(str(q), [float(x) for x in v]) for q, v in query_vecs],
         f"query_id string, {vec_col} array<double>",
     )
-    cand = None
-    for t in range(n_tables):
-        cb = _hyperplane_buckets(embeddings, id_col, vec_col, n_planes, seed + t)
-        qb = _hyperplane_buckets(qdf, "query_id", vec_col, n_planes, seed + t)
-        c = qb.join(cb, "bucket").select("query_id", id_col)
-        cand = c if cand is None else cand.union(c)
-    cand = cand.distinct()
+    dim = len(query_vecs[0][1])
+    cb = _hyperplane_buckets_multi(
+        embeddings, id_col, vec_col, n_planes, n_tables, seed, dim=dim
+    )
+    qb = _hyperplane_buckets_multi(
+        qdf, "query_id", vec_col, n_planes, n_tables, seed, dim=dim
+    )
+    cand = (
+        F.broadcast(qb).join(cb, ["tbl", "bucket"])
+        .select("query_id", id_col)
+        .distinct()
+    )
 
     ea = embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
     joined = cand.join(ea, id_col).join(F.broadcast(qdf.withColumnRenamed(vec_col, "_q")), "query_id")

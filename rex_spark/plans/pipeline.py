@@ -106,7 +106,11 @@ def extract_triples_learned(
 
     conf = conf or PipelineConfig()
     cands = candidates(docs, lexicon, conf)
-    labeled = distant_label(cands, kb).persist()
+    # localCheckpoint instead of persist(): same reuse across the train +
+    # score passes, but the blocks are released by the ContextCleaner when
+    # the DataFrame is garbage-collected — repeated calls (bench loops,
+    # long-running drivers) no longer accumulate storage memory.
+    labeled = distant_label(cands, kb).localCheckpoint()
     key_cols = ["doc_id", "sent_idx", "q_idx", "a_idx"]
     if model is None:
         train_df = labeled

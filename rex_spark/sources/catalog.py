@@ -36,6 +36,27 @@ def _iceberg_catalog(spark: SparkSession) -> str | None:
     return None
 
 
+def _table_ident(cat: str, path: str, stage: str) -> str:
+    """catalog.namespace.table identifier derived from BOTH the output
+    path and the stage name: two pipelines with different out_dirs must
+    never collide on a shared 'candidates'/'triples' table (they would
+    silently createOrReplace each other's outputs)."""
+    import zlib as _z
+
+    ns = "".join(ch if ch.isalnum() else "_" for ch in path.strip("/"))[-48:]
+    ns = f"{ns}_{_z.crc32(path.encode()) & 0xFFFFFFFF:08x}".lstrip("_")
+    return f"{cat}.rex_{ns}.{stage}"
+
+
+def _read_stage(spark: SparkSession, path: str, stage: str) -> DataFrame:
+    """Read a stage back from wherever write_stage put it: the Iceberg
+    catalog table when one is configured, else the parquet path."""
+    cat = _iceberg_catalog(spark)
+    if cat:
+        return spark.read.table(_table_ident(cat, path, stage))
+    return spark.read.parquet(path)
+
+
 def table_checksum(df: DataFrame) -> int:
     """Order-insensitive content checksum: sum of per-row murmur3 over all
     columns (cast to string for type-stability)."""
@@ -58,7 +79,11 @@ def write_stage(
     spark = df.sparkSession
     cat = _iceberg_catalog(spark)
     if cat:
-        ident = f"{cat}.{stage}"
+        ident = _table_ident(cat, path, stage)
+        try:  # namespace must exist before createOrReplace on most catalogs
+            spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {ident.rsplit('.', 1)[0]}")
+        except Exception:
+            pass
         w = df.writeTo(ident).using("iceberg")
         if partition_by:
             w = w.partitionedBy(*[F.col(c) for c in partition_by])
@@ -128,9 +153,9 @@ def resume_or_run(
     """If the stage checkpoint is complete (and config matches), read it
     back; otherwise run ``build()`` and materialize. Idempotent."""
     if stage_is_complete(path, config_echo):
-        df = spark.read.parquet(path)
+        df = _read_stage(spark, path, stage)
         if not verify_checksum or table_checksum(df) == read_manifest(path)["checksum"]:
             return df
     df = build()
     write_stage(df, path, stage, partition_by, config_echo)
-    return spark.read.parquet(path)
+    return _read_stage(spark, path, stage)

@@ -70,6 +70,59 @@ def test_simhash_candidates(spark, dup_docs):
     assert ("1", "101") in pairs
 
 
+def _simhash64_slow(text: str, k: int = 4) -> int:
+    """Per-gram pure-Python reference of the vectorized simhash64 (same
+    polynomial window hash + splitmix64 + majority-bit vote)."""
+    import zlib
+
+    M = (1 << 64) - 1
+    enc = text.encode("utf-8", "ignore")
+    if len(enc) < k:
+        hashes = [zlib.crc32(enc)]
+    else:
+        fnv = 1_099_511_628_211
+        coef = [pow(fnv, i, 1 << 64) for i in range(k)]
+        hashes = [
+            sum(enc[i + j] * coef[j] for j in range(k)) & M
+            for i in range(len(enc) - k + 1)
+        ]
+    mixed = []
+    for h in hashes:
+        h ^= h >> 30
+        h = (h * 0xBF58476D1CE4E5B9) & M
+        h ^= h >> 27
+        h = (h * 0x94D049BB133111EB) & M
+        h ^= h >> 31
+        mixed.append(h)
+    acc = [0] * 64
+    for h in mixed:
+        for i in range(64):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = sum(1 << i for i in range(64) if acc[i] > 0)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def test_simhash_vectorized_parity():
+    from rex_spark.operators.dedup import simhash64
+
+    rng = np.random.default_rng(17)
+    alphabet = "abcdef XYZ0123_(){};."
+    for n in [0, 1, 3, 4, 5, 40, 300]:
+        s = "".join(rng.choice(list(alphabet), size=n)) if n else ""
+        assert simhash64(s) == _simhash64_slow(s), f"len={n} s={s!r}"
+
+
+def test_simhash_hamming_sensitivity():
+    from rex_spark.operators.dedup import simhash64
+
+    a = simhash64(BASE * 3)
+    b = simhash64((BASE * 3).replace("core", "kore"))
+    c = simhash64("completely unrelated text about weather patterns " * 4)
+    ham = lambda x, y: bin((x ^ y) & ((1 << 64) - 1)).count("1")
+    assert ham(a, b) <= 10  # near-dup stays near
+    assert ham(a, c) >= 20  # unrelated far apart
+
+
 def test_brute_force_topk(spark):
     rng = np.random.default_rng(3)
     vecs = rng.standard_normal((60, 16))

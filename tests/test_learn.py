@@ -101,6 +101,27 @@ def test_sampling_determinism(spark):
     assert len(folds) == 4
 
 
+def test_sampling_split_fold_decisions_independent(spark):
+    # ADVICE r1 (high): with a shared hash, p_keep_negative <= proportion_train
+    # put EVERY surviving negative in train (test had zero negatives). The
+    # purpose salts must decorrelate the three decisions.
+    df = spark.createDataFrame(
+        [(i, "no_relation") for i in range(2000)], ["id", "label"]
+    )
+    kept = negative_sample(df, 0.5, ["id"])  # p_keep < proportion_train
+    tr, te = train_test_split(kept, 0.75, ["id"])
+    n_te = te.count()
+    # ~0.5 * 0.25 * 2000 = 250 negatives expected in test; zero means correlated
+    assert 150 < n_te < 350, f"test negatives={n_te} (correlated hash decisions)"
+    # folds of the sampled set are also balanced, not degenerate
+    fold_counts = {
+        r["fold"]: r["count"]
+        for r in assign_folds(kept, 4, ["id"]).groupBy("fold").count().collect()
+    }
+    assert len(fold_counts) == 4
+    assert all(v > 100 for v in fold_counts.values()), fold_counts
+
+
 def test_positive_rows_always_kept(spark):
     df = spark.createDataFrame(
         [(i, "rel" if i % 10 == 0 else "no_relation") for i in range(1000)],

@@ -35,6 +35,31 @@ def test_connected_components_chain(spark):
     assert set(comps.values()) == {"n00"}
 
 
+def test_connected_components_pathological_chain(spark):
+    # 1000-node path graph: diameter 999. Plain min-label propagation
+    # needs ~999 rounds; large-star/small-star must converge within
+    # ~2*log2(n) rounds (max_iter=22 would leave min-label propagation
+    # wildly wrong).
+    n = 1000
+    edges = spark.createDataFrame(
+        [(f"n{i:04d}", f"n{i+1:04d}") for i in range(n - 1)], ["ma", "mb"]
+    )
+    comps = {
+        r["node"]: r["comp"]
+        for r in connected_components(edges, max_iter=22).collect()
+    }
+    assert len(comps) == n
+    assert set(comps.values()) == {"n0000"}
+
+
+def test_connected_components_empty_and_selfloop(spark):
+    empty = spark.createDataFrame([], "ma string, mb string")
+    assert connected_components(empty).count() == 0
+    loops = spark.createDataFrame([("a", "a"), ("b", "c")], ["ma", "mb"])
+    comps = {r["node"]: r["comp"] for r in connected_components(loops).collect()}
+    assert comps == {"a": "a", "b": "b", "c": "b"}
+
+
 def test_link_pairs_and_canonical_map(spark):
     mentions = spark.createDataFrame(
         [("AuthService",), ("Auth_Service",), ("authservice",), ("DataBus",), ("database",)],

@@ -1,0 +1,83 @@
+"""Driver-mimic: run __spark_entry__ queries + DuckDB oracles side-by-side
+and report rows/schema/hash matches — same comparison shape the grading
+driver uses. Usage: python tools/driver_mimic.py [sf_dir] [query ...]"""
+
+import hashlib
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+import __spark_entry__ as entry_mod
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(pdf: pd.DataFrame) -> str:
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return hashlib.sha256(
+        pd.util.hash_pandas_object(pdf.astype(str), index=False).values.tobytes()
+    ).hexdigest()[:16]
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.driver.memory", "8g")
+        .appName("driver-mimic")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    fails = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"{name}: SPARK ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        if name not in oracles:
+            print(f"{name}: no_oracle spark_rows={len(sdf)}")
+            continue
+        try:
+            odf = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"{name}: ORACLE ERROR {type(e).__name__}: {e}")
+            fails.append(name)
+            continue
+        rows = len(sdf) == len(odf)
+        schema = sorted(sdf.columns) == sorted(odf.columns)
+        h = value_hash(sdf) == value_hash(odf) if rows and schema else False
+        status = "OK" if (rows and schema and h) else "MISMATCH"
+        print(
+            f"{name}: {status} rows={len(sdf)}/{len(odf)} schema={schema} hash={h}"
+        )
+        if status != "OK":
+            fails.append(name)
+    print("FAILS:", fails if fails else "none")
+    spark.stop()
+    sys.exit(1 if fails else 0)
+
+
+if __name__ == "__main__":
+    main()

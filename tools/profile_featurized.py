@@ -1,0 +1,27 @@
+"""Isolate the kg_pipeline_featurized bench entry (no other queries)."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
+from rex_spark.session import get_spark
+from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("profile-feat", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
+spark.sparkContext.setLogLevel("ERROR")
+
+conf = CorpusConfig(n_docs=20000, n_entities=400, n_kb=800, n_repos=100, seed=42)
+docs = corpus_df(spark, conf, partitions=cpus * 2).cache()
+docs.count()
+kb = kb_df(spark, conf)
+lex = make_lexicon(conf)
+for i in range(3):
+    t0 = time.perf_counter()
+    triples = extract_triples_distant(docs, kb, lex, PipelineConfig())
+    n = triples.count()
+    print(f"run{i}: {time.perf_counter()-t0:.3f}s n={n}", flush=True)
+spark.stop()

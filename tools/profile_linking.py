@@ -1,0 +1,42 @@
+"""Stage-level profile of the entity-linking bench entry."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.linking import candidate_link_pairs, connected_components
+from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
+from rex_spark.session import get_spark
+from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+spark = get_spark("profile-linking", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32))
+spark.sparkContext.setLogLevel("ERROR")
+
+conf = CorpusConfig(n_docs=20000, n_entities=400, n_kb=800, n_repos=100, seed=42)
+docs = corpus_df(spark, conf, partitions=cpus * 2).cache()
+docs.count()
+triples = extract_triples_distant(docs, kb_df(spark, conf), make_lexicon(conf), PipelineConfig())
+
+mentions = triples.select(F.col("subj").alias("mention")).union(
+    triples.select(F.col("obj").alias("mention"))
+).cache()
+n_m = mentions.count()
+print(f"mentions rows={n_m} distinct={mentions.distinct().count()}", flush=True)
+
+t0 = time.perf_counter()
+edges = candidate_link_pairs(mentions).cache()
+n_e = edges.count()
+t1 = time.perf_counter()
+print(f"candidate_link_pairs: {t1-t0:.2f}s edges={n_e}", flush=True)
+
+t0 = time.perf_counter()
+comps = connected_components(edges)
+n_c = comps.count()
+t1 = time.perf_counter()
+print(f"connected_components: {t1-t0:.2f}s labels={n_c}", flush=True)
+spark.stop()
