@@ -408,6 +408,167 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_chunked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T3/T4 through the DISTRIBUTED chunk stage: tokens tagged ENT by
+    # lexicon membership, adjacent entity runs merged into multi-word
+    # mentions (reference stage order SparkDataPipeline.scala:34); the
+    # oracle replicates with gaps-and-islands SQL.
+    from rex_spark.operators.chunking import chunk_sentences
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    lex_arr = F.array(*[F.lit(w) for w in ENTITY_WORDS])
+    sents = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        toks.alias("tokens"),
+        F.lit(None).cast("array<string>").alias("tags"),
+        F.transform(
+            toks,
+            lambda t: F.when(F.array_contains(lex_arr, t), F.lit("ENT")).otherwise(
+                F.lit("O")
+            ),
+        ).alias("entities"),
+    )
+    chunked = chunk_sentences(sents)
+    ex = chunked.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("tokens", "entities")).alias("new_idx", "z"),
+    )
+    return ex.where(F.col("z.entities") != "O").select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("new_idx").cast("bigint").alias("new_idx"),
+        F.col("z.tokens").alias("mention"),
+    )
+
+
+def _lex_sentences(spark: SparkSession, sf_dir: str, one_sentence: bool = True):
+    """documents -> sentence frame (doc_id, sent_idx, tokens, tags,
+    entities) with lexicon-membership ENT tagging, built JVM-side."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    lex_arr = F.array(*[F.lit(w) for w in ENTITY_WORDS])
+    ent = lambda arr: F.transform(  # noqa: E731
+        arr,
+        lambda t: F.when(F.array_contains(lex_arr, t), F.lit("ENT")).otherwise(F.lit("O")),
+    )
+    if one_sentence:
+        return d.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.lit(0).cast("int").alias("sent_idx"),
+            toks.alias("tokens"),
+            F.lit(None).cast("array<string>").alias("tags"),
+            ent(toks).alias("entities"),
+        )
+    # 20-token sentence windows (for cross-sentence coref)
+    n = F.size(toks)
+    sent_arr = F.transform(
+        F.sequence(F.lit(0), ((n - 1) / 20).cast("int")),
+        lambda i: F.slice(toks, i * 20 + 1, 20),
+    )
+    ex = d.select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.posexplode(sent_arr).alias("sent_idx", "tokens"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("sent_idx").cast("int").alias("sent_idx"),
+        "tokens",
+        F.lit(None).cast("array<string>").alias("tags"),
+        ent(F.col("tokens")).alias("entities"),
+    )
+
+
+def q_training_data_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E2: gold-featurized positives + LEFT ANTI negatives through the real
+    # training_data_from_gold operator; the label histogram must equal the
+    # declarative KB-join histogram (same oracle SQL as label_histogram).
+    from rex_spark.operators.candidates import CandidateConfig
+    from rex_spark.operators.traindata import training_data_from_gold
+
+    sents = _lex_sentences(spark, sf_dir)
+    pairs = _pairs(spark, sf_dir)
+    kb = _kb_df(spark)
+    gold = pairs.join(
+        F.broadcast(kb),
+        (pairs["query_w"] == kb["subj"]) & (pairs["answer_w"] == kb["obj"]),
+        "inner",
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("q_pos").cast("int").alias("q_idx"),
+        F.col("a_pos").cast("int").alias("a_idx"),
+        F.col("rel").alias("label"),
+    )
+    td = training_data_from_gold(
+        sents, gold, CandidateConfig(candidate_filter="entities", max_gap=MAX_GAP)
+    )
+    return td.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_feature_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7: per-feature weight aggregation (rex Pipeline.scala:31-46) in its
+    # distributed form — explode feature bags, groupBy key, sum weights.
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.col("text"), " ")
+    ex = d.select("doc_id", toks.alias("toks"), F.posexplode(toks).alias("pos", "tok"))
+    ment = ex.where(F.col("tok").isin(ENTITY_WORDS))
+    left = ment.where(F.col("pos") > 0).select(
+        F.concat(F.lit("left:"), F.element_at("toks", F.col("pos"))).alias("feature")
+    )
+    right = ment.where(F.col("pos") < F.size("toks") - 1).select(
+        F.concat(F.lit("right:"), F.element_at("toks", F.col("pos") + 2)).alias("feature")
+    )
+    return (
+        left.unionAll(right)
+        .groupBy("feature")
+        .agg(F.count(F.lit(1)).cast("double").alias("weight"))
+    )
+
+
+def q_confusion_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E8: per-label confusion cells + P/R/F1 as one conditional-sum
+    # aggregate; predictions simulated with deterministic arithmetic noise
+    # (80% correct) so the oracle can replicate exactly.
+    from rex_spark.operators.evaluate import per_label_metrics
+
+    lab = _labeled_pairs(spark, sf_dir)
+    noise = (F.col("doc_id") * 1000003 + F.col("q_pos") * 131 + F.col("a_pos")) % 10
+    scored = lab.select(
+        "label",
+        F.when(noise < 8, F.col("label")).otherwise(F.lit(NO_RELATION)).alias("pred"),
+    )
+    return per_label_metrics(scored)
+
+
+def q_coref_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # C3: cross-sentence coref candidate generation (rex CandGen.scala:37-116)
+    # over 20-token sentence windows; chains = entity surface in >= 2
+    # sentences of a doc. Feature columns dropped (not SQL-replicable);
+    # the pair/role enumeration is checked exactly.
+    from rex_spark.operators.candidates import CandidateConfig
+    from rex_spark.operators.coref import generate_coref_candidates, nest_documents
+
+    sents = _lex_sentences(spark, sf_dir, one_sentence=False).where(
+        F.col("doc_id").cast("bigint") < 100
+    )
+    nested = nest_documents(sents)
+    cands = generate_coref_candidates(
+        nested, CandidateConfig(candidate_filter="entities")
+    )
+    return cands.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "kind",
+        F.col("mention_sent").cast("bigint").alias("mention_sent"),
+        F.col("mention_idx").cast("bigint").alias("mention_idx"),
+        F.col("shared_sent").cast("bigint").alias("shared_sent"),
+        F.col("coref_idx").cast("bigint").alias("coref_idx"),
+        F.col("other_idx").cast("bigint").alias("other_idx"),
+        "query_w",
+        "answer_w",
+    )
+
+
 def q_triples_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME semantics as triples_distant but through the engine's fused
     # mapInPandas path (lexer -> pair-gen), proving the Python path agrees
@@ -487,6 +648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "chunked_mentions": q_chunked_mentions,
+        "training_data_labels": q_training_data_labels,
+        "feature_aggregation": q_feature_aggregation,
+        "confusion_metrics": q_confusion_metrics,
+        "coref_candidates": q_coref_candidates,
         "triples_fused_pipeline": q_triples_fused_pipeline,
         "triples_learned": q_triples_learned,
     }
@@ -585,6 +751,31 @@ def oracle_sql() -> dict[str, str]:
             SELECT n_name AS node, comp FROM comp
         """,
         "mentions": _SQL_MENTIONS,
+        "chunked_mentions": f"""
+            WITH toks AS (
+              SELECT doc_id, pos, tok, tok IN {_SQL_LEX} AS is_ent
+              FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       unnest(range(len(string_split(text, ' ')))) AS pos
+                FROM documents
+              )
+            ),
+            marks AS (
+              SELECT doc_id, pos, tok, is_ent,
+                     CASE WHEN is_ent AND coalesce(lag(is_ent) OVER w, false)
+                          THEN 0 ELSE 1 END AS st
+              FROM toks WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ),
+            cum AS (
+              SELECT doc_id, pos, tok, is_ent,
+                     sum(st) OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS new_idx
+              FROM marks
+            )
+            SELECT doc_id, CAST(new_idx AS BIGINT) AS new_idx,
+                   string_agg(tok, ' ' ORDER BY pos) AS mention
+            FROM cum WHERE is_ent
+            GROUP BY doc_id, new_idx
+        """,
         "candidate_pairs": f"""
             WITH pairs AS ({_SQL_PAIRS})
             SELECT query_w, answer_w, count(*) AS n_pairs
@@ -612,6 +803,111 @@ def oracle_sql() -> dict[str, str]:
             WHERE label <> '{NO_RELATION}'
                OR (doc_id * 1000003 + q_pos * 131 + a_pos) % 100 < 25
             GROUP BY label
+        """,
+        "training_data_labels": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT label, count(*) AS n FROM lab GROUP BY label
+        """,
+        "feature_aggregation": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            m AS (SELECT doc_id, toks,
+                         unnest(range(len(toks))) AS pos, unnest(toks) AS tok
+                  FROM t),
+            ment AS (SELECT * FROM m WHERE tok IN {_SQL_LEX}),
+            feats AS (
+              SELECT 'left:' || toks[pos] AS feature FROM ment WHERE pos > 0
+              UNION ALL
+              SELECT 'right:' || toks[pos+2] AS feature FROM ment
+              WHERE pos < len(toks) - 1
+            )
+            SELECT feature, CAST(count(*) AS DOUBLE) AS weight
+            FROM feats GROUP BY feature
+        """,
+        "confusion_metrics": f"""
+            WITH lab AS ({_SQL_LABELED}),
+            scored AS (
+              SELECT label,
+                     CASE WHEN (doc_id*1000003 + q_pos*131 + a_pos) % 10 < 8
+                          THEN label ELSE '{NO_RELATION}' END AS pred
+              FROM lab
+            ),
+            by_pred AS (
+              SELECT pred AS label, count(*) AS n_pred,
+                     CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT) AS tp
+              FROM scored GROUP BY pred
+            ),
+            by_lab AS (SELECT label, count(*) AS n_true FROM scored GROUP BY label),
+            j AS (
+              SELECT coalesce(by_lab.label, by_pred.label) AS label,
+                     coalesce(n_pred, 0) AS n_pred, coalesce(tp, 0) AS tp,
+                     coalesce(n_true, 0) AS n_true
+              FROM by_lab FULL JOIN by_pred ON by_lab.label = by_pred.label
+            )
+            SELECT label,
+                   CAST(tp AS BIGINT) AS tp,
+                   CAST(n_pred - tp AS BIGINT) AS fp,
+                   CAST(n_true - tp AS BIGINT) AS fn,
+                   round(CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0.0 END, 6)
+                     AS precision,
+                   round(CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0.0 END, 6)
+                     AS recall,
+                   round(CASE WHEN (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0.0 END
+                              + CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0.0 END) > 0
+                         THEN 2 * (CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0.0 END)
+                                * (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0.0 END)
+                              / ((CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE)/n_pred ELSE 0.0 END)
+                               + (CASE WHEN n_true > 0 THEN CAST(tp AS DOUBLE)/n_true ELSE 0.0 END))
+                         ELSE 0.0 END, 6) AS f1
+            FROM j
+        """,
+        "coref_candidates": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                       FROM documents WHERE doc_id < 100),
+            tok AS (
+              SELECT doc_id, CAST(pos // 20 AS BIGINT) AS sent,
+                     CAST(pos % 20 AS BIGINT) AS idx, tk AS tok
+              FROM (SELECT doc_id, unnest(range(len(toks))) AS pos,
+                           unnest(toks) AS tk FROM t)
+            ),
+            ent AS (SELECT * FROM tok WHERE tok IN {_SQL_LEX}),
+            chained AS (
+              SELECT doc_id, tok FROM ent GROUP BY doc_id, tok
+              HAVING count(DISTINCT sent) >= 2
+            ),
+            mention AS (
+              SELECT ent.* FROM ent JOIN chained USING (doc_id, tok)
+            ),
+            mpairs AS (
+              SELECT m1.doc_id, m1.tok,
+                     m1.sent AS s1, m1.idx AS i1, m2.sent AS s2, m2.idx AS i2
+              FROM mention m1 JOIN mention m2
+                ON m1.doc_id = m2.doc_id AND m1.tok = m2.tok
+               AND (m1.sent < m2.sent OR (m1.sent = m2.sent AND m1.idx < m2.idx))
+               AND m1.sent <> m2.sent
+            ),
+            shared AS (
+              SELECT doc_id, tok, s1 AS mention_sent, i1 AS mention_idx,
+                     s2 AS shared_sent, i2 AS coref_idx FROM mpairs
+              UNION ALL
+              SELECT doc_id, tok, s2, i2, s1, i1 FROM mpairs
+            ),
+            expanded AS (
+              SELECT s.doc_id, s.tok, s.mention_sent, s.mention_idx,
+                     s.shared_sent, s.coref_idx, e.idx AS other_idx,
+                     e.tok AS other_tok
+              FROM shared s JOIN ent e
+                ON e.doc_id = s.doc_id AND e.sent = s.shared_sent
+               AND e.idx <> s.coref_idx
+            )
+            SELECT doc_id, 'coref_query' AS kind, mention_sent, mention_idx,
+                   shared_sent, coref_idx, other_idx,
+                   tok AS query_w, other_tok AS answer_w
+            FROM expanded
+            UNION ALL
+            SELECT doc_id, 'coref_answer', mention_sent, mention_idx,
+                   shared_sent, coref_idx, other_idx,
+                   other_tok, tok
+            FROM expanded
         """,
         "fold_assignment": """
             SELECT doc_id % 4 AS fold, count(*) AS n_docs,

@@ -44,6 +44,11 @@ class CandidateConfig:
     inside_skip: int = 4
     hash_space: int | None = DEFAULT_FEATURE_SPACE
     non_entity: str = "O"
+    # apply NER chunking (merge adjacent same-entity tokens into one
+    # multi-word mention) between lex and pair-gen — the reference's
+    # stage order (SparkDataPipeline.scala:34). Off by default: single-
+    # type lexicon tagging would merge distinct adjacent entity words.
+    chunk: bool = False
     # engine extension (see featurize.featurize_sentence_candidate):
     # breaks the reference's q/a feature symmetry so directed triples
     # are learnable. Off = exact reference feature space.
@@ -113,6 +118,12 @@ def generate_candidates(
                     if rd["entities"] is not None
                     else [cf.non_entity] * len(tokens)
                 )
+                if cf.chunk:
+                    from ..functions.chunking import chunk_sentence
+
+                    tokens, tags, ents, _ = chunk_sentence(
+                        tokens, tags, ents, cf.non_entity
+                    )
                 keep = _endpoint_keep(cf, tokens, tags, ents)
                 if cf.max_gap is None:
                     pairs = sentence_pairs(keep)
@@ -199,6 +210,12 @@ def candidates_from_docs(
                     continue
                 doc_id = str(doc_id)
                 for si, (tokens, tags, ents) in enumerate(lex_document(str(text), lex, lc)):
+                    if cf.chunk:
+                        from ..functions.chunking import chunk_sentence
+
+                        tokens, tags, ents, _ = chunk_sentence(
+                            tokens, tags, ents, cf.non_entity
+                        )
                     keep = _endpoint_keep(cf, tokens, tags, ents)
                     if cf.max_gap is None:
                         pairs = sentence_pairs(keep)

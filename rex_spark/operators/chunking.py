@@ -1,0 +1,69 @@
+"""Distributed NER chunking stage (T3/T4): merge adjacent same-entity
+tokens into multi-word mentions BETWEEN text processing and candidate
+generation — the reference applies this exact stage order in
+rex ``spark/SparkDataPipeline.scala:34`` (process |> chunk |> candgen),
+kernels in ``text/SentenceChunker.scala:17-80`` and
+``text/DocumentChunker.scala:13-52``.
+
+The operator is a narrow mapInPandas over sentence rows; each row's
+token/tag/entity arrays are rewritten by the golden-tested kernel
+(functions/chunking.py) and the old->new index map is emitted alongside
+so downstream index-bearing annotations (coref mentions) can be remapped
+(DocumentChunker semantics, with the corrected in-range mapping — see
+functions/chunking.py module docstring).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+
+from ..functions.chunking import chunk_sentence, old_to_new_indices
+
+_CHUNKED_FIELDS = [
+    T.StructField("doc_id", T.StringType(), False),
+    T.StructField("sent_idx", T.IntegerType(), False),
+    T.StructField("tokens", T.ArrayType(T.StringType()), False),
+    T.StructField("tags", T.ArrayType(T.StringType()), True),
+    T.StructField("entities", T.ArrayType(T.StringType()), True),
+    # old token index -> new chunk-ordinal index (identity when unchunked)
+    T.StructField("idx_map", T.MapType(T.IntegerType(), T.IntegerType()), False),
+]
+CHUNKED_SCHEMA = T.StructType(_CHUNKED_FIELDS)
+
+
+def chunk_sentences(sentences: DataFrame, non_entity: str = "O") -> DataFrame:
+    """sentences(doc_id, sent_idx, tokens, tags, entities) -> the same
+    frame with adjacent same-entity runs merged + the index remap.
+    Narrow (zero shuffle); one Python hop."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in CHUNKED_SCHEMA.fields}
+            for row in pdf.itertuples(index=False):
+                rd = row._asdict()
+                tokens = list(rd["tokens"])
+                tags = list(rd["tags"]) if rd["tags"] is not None else None
+                ents = list(rd["entities"]) if rd["entities"] is not None else None
+                new_t, new_g, new_e, groups = chunk_sentence(
+                    tokens, tags, ents, non_entity
+                )
+                mapping = (
+                    old_to_new_indices(groups)
+                    if groups
+                    else {i: i for i in range(len(tokens))}
+                )
+                cols["doc_id"].append(str(rd["doc_id"]))
+                cols["sent_idx"].append(rd["sent_idx"])
+                cols["tokens"].append(new_t)
+                cols["tags"].append(new_g)
+                cols["entities"].append(new_e)
+                cols["idx_map"].append(mapping)
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    sel = ["doc_id", "sent_idx", "tokens", "tags", "entities"]
+    return sentences.select(*sel).mapInPandas(fn, CHUNKED_SCHEMA)

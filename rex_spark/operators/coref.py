@@ -100,6 +100,21 @@ def generate_coref_candidates(
                     by_idx.get(i, {"sent_idx": i, "tokens": [], "tags": [], "entities": []})
                     for i in range(max_idx + 1)
                 ]
+                if cf.chunk:
+                    # chunk each sentence BEFORE chain derivation — the
+                    # doc-level analog of DocumentChunker.scala:13-52:
+                    # deriving chains on chunked sentences is equivalent
+                    # to deriving-then-remapping via old_to_new_indices
+                    from ..functions.chunking import chunk_sentence
+
+                    for s in ordered:
+                        t2, g2, e2, _ = chunk_sentence(
+                            list(s["tokens"]),
+                            list(s["tags"]) if s["tags"] is not None else None,
+                            list(s["entities"]) if s["entities"] is not None else None,
+                            cf.non_entity,
+                        )
+                        s["tokens"], s["tags"], s["entities"] = t2, g2, e2
                 chains = derive_coref_chains(ordered)
                 if not chains:
                     continue

@@ -51,6 +51,55 @@ def test_single_token_passthrough():
     assert toks == ["a"] and groups == []
 
 
+def test_distributed_chunked_pipeline(spark):
+    # rex SparkPipelineTest.scala:15-42: the john-smith doc through the
+    # DISTRIBUTED chunk stage then candidate generation — multi-token
+    # entity mentions ("John Smith", "January 10th, 2013") must appear as
+    # candidate endpoints, not split tokens.
+    from rex_spark.operators.candidates import CandidateConfig, generate_candidates
+    from rex_spark.operators.chunking import chunk_sentences
+
+    sents = spark.createDataFrame(
+        [("d0", i, JS_TOKENS[i], JS_TAGS[i], JS_ENTITIES[i]) for i in range(2)],
+        "doc_id string, sent_idx int, tokens array<string>, "
+        "tags array<string>, entities array<string>",
+    )
+    chunked = chunk_sentences(sents)
+    rows = {r["sent_idx"]: r for r in chunked.collect()}
+    assert list(rows[0]["tokens"]) == CHUNKED[0]
+    assert list(rows[1]["tokens"]) == CHUNKED[1]
+    assert rows[0]["idx_map"][1] == 0  # Smith -> chunk 0 (John Smith)
+    assert rows[1]["idx_map"][8] == 5  # 2013 -> chunk 5 (January 10th, 2013)
+
+    cands = generate_candidates(
+        chunked.drop("idx_map"),
+        CandidateConfig(candidate_filter="entities", hash_space=None,
+                        adjacent_width=None, inside_ngram=None),
+    )
+    pairs = {(r["query_w"], r["answer_w"]) for r in cands.collect()}
+    assert ("John Smith", "China") in pairs and ("China", "John Smith") in pairs
+    assert ("Beijing", "January 10th, 2013") in pairs
+    assert not any("Smith" == q or "January" == q for q, _ in pairs)  # never split
+
+
+def test_chunk_flag_in_fused_candgen(spark):
+    # chunk=True applies the merge inside generate_candidates itself
+    from rex_spark.operators.candidates import CandidateConfig, generate_candidates
+
+    sents = spark.createDataFrame(
+        [("d0", 0, JS_TOKENS[0], JS_TAGS[0], JS_ENTITIES[0])],
+        "doc_id string, sent_idx int, tokens array<string>, "
+        "tags array<string>, entities array<string>",
+    )
+    cands = generate_candidates(
+        sents,
+        CandidateConfig(candidate_filter="entities", hash_space=None,
+                        adjacent_width=None, inside_ngram=None, chunk=True),
+    )
+    pairs = {(r["query_w"], r["answer_w"]) for r in cands.collect()}
+    assert pairs == {("John Smith", "China"), ("China", "John Smith")}
+
+
 def test_old_to_new_indices():
     _, _, _, groups = chunk_sentence(JS_TOKENS[0], JS_TAGS[0], JS_ENTITIES[0])
     mapping = old_to_new_indices(groups)
