@@ -36,7 +36,12 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # cold = first execution (includes codegen/broadcast/python-worker
+    # spin-up); steady = min of cold and an immediate second run.
+    # `queries` carries the steady numbers (round-over-round comparable);
+    # `queries_cold` the cold ones.
     timings: dict[str, float] = {}
+    timings_cold: dict[str, float] = {}
     q = entry.queries()
 
     bench_queries = [
@@ -53,9 +58,17 @@ def main() -> None:
         "segment_revenue",
         "ngram_jaccard",
         "ann_cosine_topk",
+        "ann_lsh_topk",
         "quality_stats",
+        "lang_id",
         "connected_components",
+        "chunked_mentions",
+        "coref_candidates",
+        "training_data_labels",
+        "confusion_metrics",
+        "feature_aggregation",
         "triples_fused_pipeline",
+        "dedup_simhash",
         "dedup_minhash",
     ]
 
@@ -64,10 +77,13 @@ def main() -> None:
 
     n_triples = 0
     for name in bench_queries:
-        t0 = time.perf_counter()
-        df = q[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
+        walls = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n = q[name](spark, sf_dir).count()
+            walls.append(time.perf_counter() - t0)
+        timings_cold[name] = round(walls[0], 4)
+        timings[name] = round(min(walls), 4)
         if name == "triples_distant":
             n_triples = n
 
@@ -87,6 +103,7 @@ def main() -> None:
         n_kg = triples.count()
         walls.append(time.perf_counter() - t0)
     kg_sec = min(walls)
+    timings_cold["kg_pipeline_featurized"] = round(walls[0], 4)
     timings["kg_pipeline_featurized"] = round(kg_sec, 4)
 
     # headline: end-to-end triple emission rate of the featurized pipeline
@@ -107,6 +124,7 @@ def main() -> None:
         )
         ltriples.count()
         lwalls.append(time.perf_counter() - t0)
+    timings_cold["kg_pipeline_learned"] = round(lwalls[0], 4)
     timings["kg_pipeline_learned"] = round(min(lwalls), 4)
 
     # entity linking: blocking + connected components over triple mentions
@@ -114,12 +132,16 @@ def main() -> None:
 
     from rex_spark.operators.linking import canonical_mention_map
 
-    t0 = time.perf_counter()
-    mentions = triples.select(F.col("subj").alias("mention")).union(
-        triples.select(F.col("obj").alias("mention"))
-    )
-    canonical_mention_map(mentions).count()
-    timings["entity_linking_cc"] = round(time.perf_counter() - t0, 4)
+    lkwalls = []
+    for _ in range(2):
+        t0 = time.perf_counter()
+        mentions = triples.select(F.col("subj").alias("mention")).union(
+            triples.select(F.col("obj").alias("mention"))
+        )
+        canonical_mention_map(mentions).count()
+        lkwalls.append(time.perf_counter() - t0)
+    timings_cold["entity_linking_cc"] = round(lkwalls[0], 4)
+    timings["entity_linking_cc"] = round(min(lkwalls), 4)
 
     total = round(sum(timings.values()), 4)
     print(
@@ -129,6 +151,7 @@ def main() -> None:
                 "value": round(triples_per_sec, 2),
                 "unit": "sec",
                 "queries": timings,
+                "queries_cold": timings_cold,
                 "sf": sf,
                 "suite_seconds": total,
                 "kg_triples": n_kg,

@@ -105,7 +105,12 @@ def deterministic_sample(
 ) -> DataFrame:
     """Idempotent sampling: keep rows whose identity hash falls in the
     first ``cap/total`` share of hash space (E1 analog, but keyed by row
-    identity instead of F.rand so resume/parity hold; SURVEY §4.3)."""
+    identity instead of F.rand so resume/parity hold; SURVEY §4.3).
+
+    Cost note: the ``count()`` is one extra action over ``df`` — callers
+    on the hot path (extract_triples_learned, learn_eval) materialize the
+    input first (localCheckpoint/persist) so this reads cached blocks,
+    never re-runs the candidate pipeline."""
     total = df.count()
     if total <= cap:
         return df

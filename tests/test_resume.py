@@ -77,3 +77,17 @@ def test_write_stage_partitioned(spark, out_dir):
     assert m["row_count"] == 2
     assert sorted(os.listdir(out_dir))  # partition dirs exist
     assert any(d.startswith("pred=") for d in os.listdir(out_dir))
+
+
+def test_iceberg_table_idents_no_collisions():
+    # ADVICE r1 (medium): two pipelines with different out_dirs must not
+    # share catalog tables for a common stage name.
+    from rex_spark.sources.catalog import _table_ident
+
+    a = _table_ident("rex", "/data/pipeline_a/out", "candidates")
+    b = _table_ident("rex", "/data/pipeline_b/out", "candidates")
+    c = _table_ident("rex", "/data/pipeline_a/out", "triples")
+    assert a != b and a != c
+    assert a.startswith("rex.") and a.endswith(".candidates")
+    # deterministic across calls
+    assert a == _table_ident("rex", "/data/pipeline_a/out", "candidates")
