@@ -569,6 +569,20 @@ def q_coref_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN: deterministic coarse quantizer (lowest-id centroid set),
+    # argmax-cosine assignment, n_probe bucket pruning, exact top-k —
+    # the oracle replays every stage in SQL.
+    from rex_spark.operators.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    out = ivf_topk(emb, [("q0", list(qvec))], k=10, n_centroids=16, n_probe=4)
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def q_triples_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME semantics as triples_distant but through the engine's fused
     # mapInPandas path (lexer -> pair-gen), proving the Python path agrees
@@ -648,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "chunked_mentions": q_chunked_mentions,
         "training_data_labels": q_training_data_labels,
         "feature_aggregation": q_feature_aggregation,
@@ -1126,6 +1141,52 @@ def oracle_sql() -> dict[str, str]:
               FROM buckets b JOIN buckets qb ON b.t = qb.t AND b.bucket = qb.bucket
               WHERE qb.vec_id = 0
             ),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+            scored AS (
+              SELECT e.vec_id,
+                     round(
+                       list_sum(list_apply(range(64), i -> e.v[i+1] * q.qv[i+1]))
+                       / (sqrt(list_sum(list_apply(e.v, x -> x * x)))
+                          * sqrt(list_sum(list_apply(q.qv, x -> x * x)))), 6) AS cos_sim
+              FROM e JOIN cand USING (vec_id) CROSS JOIN q
+            )
+            SELECT * FROM (
+              SELECT 'q0' AS query_id, vec_id, cos_sim,
+                     CAST(row_number() OVER (ORDER BY cos_sim DESC, vec_id) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 10
+        """,
+        # ann_ivf_topk oracle: centroid set = 16 lowest-id vectors;
+        # assignment = argmax cosine (ties -> lowest centroid id); query
+        # (vec 0) probes its 4 nearest centroids; exact cosine top-10
+        # among vectors assigned to probed centroids.
+        "ann_ivf_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cent AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT 16),
+            nv AS (SELECT vec_id, sqrt(list_sum(list_apply(v, x -> x*x))) AS n FROM e),
+            nc AS (SELECT cid, sqrt(list_sum(list_apply(cv, x -> x*x))) AS n FROM cent),
+            sim AS (
+              SELECT e.vec_id, cent.cid,
+                     list_sum(list_apply(range(64), i -> e.v[i+1] * cent.cv[i+1]))
+                     / (nv.n * nc.n) AS cs
+              FROM e CROSS JOIN cent
+              JOIN nv ON nv.vec_id = e.vec_id
+              JOIN nc ON nc.cid = cent.cid
+            ),
+            assign AS (
+              SELECT vec_id, cid FROM (
+                SELECT vec_id, cid,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid) AS rn
+                FROM sim
+              ) WHERE rn = 1
+            ),
+            probes AS (
+              SELECT cid FROM (
+                SELECT cid, row_number() OVER (ORDER BY cs DESC, cid) AS rn
+                FROM sim WHERE vec_id = 0
+              ) WHERE rn <= 4
+            ),
+            cand AS (SELECT DISTINCT vec_id FROM assign JOIN probes USING (cid)),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
             scored AS (
               SELECT e.vec_id,

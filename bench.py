@@ -59,6 +59,7 @@ def main() -> None:
         "ngram_jaccard",
         "ann_cosine_topk",
         "ann_lsh_topk",
+        "ann_ivf_topk",
         "quality_stats",
         "lang_id",
         "connected_components",

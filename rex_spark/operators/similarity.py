@@ -238,8 +238,22 @@ def lsh_topk(
         .distinct()
     )
 
+    return _exact_topk_among(cand, embeddings, qdf, k, id_col, vec_col)
+
+
+def _exact_topk_among(
+    cand: DataFrame,
+    embeddings: DataFrame,
+    qdf: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Exact cosine top-k of each query against its candidate id set."""
     ea = embeddings.select(F.col(id_col), F.col(vec_col).alias("_v"))
-    joined = cand.join(ea, id_col).join(F.broadcast(qdf.withColumnRenamed(vec_col, "_q")), "query_id")
+    joined = cand.join(ea, id_col).join(
+        F.broadcast(qdf.withColumnRenamed(vec_col, "_q")), "query_id"
+    )
 
     @F.pandas_udf(T.DoubleType())
     def cos(va: pd.Series, vb: pd.Series) -> pd.Series:
@@ -252,3 +266,72 @@ def lsh_topk(
     scored = joined.withColumn("cos_sim", F.round(cos("_v", "_q"), 6)).drop("_v", "_q")
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc(id_col))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vecs: list[tuple],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: a coarse quantizer buckets the corpus (assignment =
+    argmax cosine to a small broadcast centroid set), queries probe their
+    ``n_probe`` nearest centroids, exact cosine ranks the probed subset.
+
+    The centroid set is the ``n_centroids`` lowest-id vectors — fully
+    deterministic and re-derivable in SQL (the DuckDB oracle replays
+    assignment + probing + top-k exactly). On a real deployment the
+    centroid set would come from a k-means fit written to a table; the
+    operator shape (broadcast centroids, one narrow assignment pass, one
+    bucket-pruned scoring join) is identical.
+
+    At 100 TB: assignment is a single narrow mapInPandas over the corpus
+    (matmul against a broadcast (n_centroids x dim) matrix); the scoring
+    join touches only ~n_probe/n_centroids of the corpus per query.
+    """
+    spark = embeddings.sparkSession
+    cent_rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    C = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in cent_rows])
+    Cn = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    bc = spark.sparkContext.broadcast(Cn)
+
+    id_field = [f for f in embeddings.schema.fields if f.name == id_col]
+    schema = T.StructType(id_field + [T.StructField("centroid", T.IntegerType(), False)])
+
+    def assign(batches):
+        Cn_ = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = _as_matrix(pdf[vec_col])
+            Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+            # argmax returns the FIRST max -> lowest centroid ordinal on ties
+            a = np.argmax(Mn @ Cn_.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: pdf[id_col].values, "centroid": a})
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
+
+    # query probes: n_probe nearest centroids, computed driver-side with
+    # the same cosine formula (ties -> lowest ordinal)
+    probe_rows = []
+    for qid, v in query_vecs:
+        qv = np.asarray(v, dtype=np.float64)
+        qn = qv / max(np.linalg.norm(qv), 1e-12)
+        sims = Cn @ qn
+        order = np.lexsort((np.arange(len(sims)), -sims))[:n_probe]
+        probe_rows.extend((str(qid), int(c)) for c in order)
+    probes = spark.createDataFrame(probe_rows, "query_id string, centroid int")
+
+    cand = (
+        F.broadcast(probes).join(assigned, "centroid").select("query_id", id_col).distinct()
+    )
+    qdf = spark.createDataFrame(
+        [(str(q), [float(x) for x in v]) for q, v in query_vecs],
+        f"query_id string, {vec_col} array<double>",
+    )
+    return _exact_topk_among(cand, embeddings, qdf, k, id_col, vec_col)

@@ -1,0 +1,47 @@
+"""Bucketed (pre-shuffled) tables for co-located joins.
+
+No reference counterpart (rex shuffles every join); at 100 TB the
+repeated join key of this engine — doc identity joining candidates,
+labels, scores, lineage — should be bucketed ONCE at write time so
+every downstream join is Exchange-free: both sides' scans are already
+hash-partitioned by the bucket column, and Spark's bucketed-scan rule
+(`spark.sql.sources.bucketing.enabled`, on by default) elides the
+shuffle whenever bucket counts match.
+
+Usage shape on a cluster is identical: `write_bucketed` once per stage
+table, then joins between same-bucketed tables never shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 64,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Materialize ``df`` as a bucketed parquet table. ``sort_cols``
+    additionally sorts within buckets so sort-merge joins skip the sort.
+    ``path`` makes it an external table (explicit location)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.format("parquet").saveAsTable(table)
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    return spark.read.table(table)
+
+
+def bucketed_join_is_shuffle_free(joined: DataFrame) -> bool:
+    """True when the executed plan contains NO Exchange on either join
+    side (the bucketed-scan co-location held)."""
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    return "Exchange" not in plan

@@ -71,6 +71,55 @@ def stream_triples(
     )
 
 
+def stream_triples_fused(
+    doc_stream: DataFrame,
+    kb: DataFrame,
+    lexicon: dict[str, str],
+    conf=None,
+) -> DataFrame:
+    """The FUSED featurized pipeline on a stream: identical plan to the
+    batch flagship (one mapInPandas candgen+featurize stage + broadcast
+    KB join) — every stage is narrow or broadcast, so Structured
+    Streaming runs it unchanged per micro-batch."""
+    from ..plans.pipeline import extract_triples_distant
+
+    return extract_triples_distant(doc_stream, kb, lexicon, conf)
+
+
+def stream_triples_learned(
+    doc_stream: DataFrame,
+    kb: DataFrame,
+    lexicon: dict[str, str],
+    model,
+    conf=None,
+) -> DataFrame:
+    """Learned extraction on a stream with a PRE-TRAINED model: training
+    happens offline (driver-side sampled fit, never on the stream); the
+    broadcast weight matrix scores each micro-batch via the pandas-UDF
+    matmul. This is the production streaming shape — no stateful ops, no
+    checkpointable aggregation, exactly-once via the file-sink checkpoint.
+    """
+    from ..operators.distant import distant_label
+    from ..operators.learn import NO_RELATION as NOREL
+    from ..operators.learn import score_candidates
+    from ..plans.pipeline import PipelineConfig, candidates
+
+    conf = conf or PipelineConfig()
+    cands = candidates(doc_stream, lexicon, conf)
+    labeled = distant_label(cands, kb)
+    scored = score_candidates(labeled, model)
+    return scored.where(F.col("pred") != NOREL).select(
+        F.col("query_w").alias("subj"),
+        F.col("pred").alias("pred"),
+        F.col("answer_w").alias("obj"),
+        F.col("pred_score"),
+        "doc_id",
+        "sent_idx",
+        "q_idx",
+        "a_idx",
+    )
+
+
 def write_triples_stream(
     triples: DataFrame,
     out_path: str,

@@ -1,0 +1,70 @@
+"""Bucketed co-located joins: same-bucketed tables join with NO Exchange."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rex_spark.sources.bucketing import (
+    bucketed_join_is_shuffle_free,
+    read_table,
+    write_bucketed,
+)
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    docs = spark.range(0, 5000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7).alias("repo")
+    )
+    cands = spark.range(0, 20000).select(
+        (F.col("id") % 5000).alias("doc_id"), (F.col("id") % 11).alias("label_id")
+    )
+    write_bucketed(docs, "b_docs", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"], path=str(base / "docs"))
+    write_bucketed(cands, "b_cands", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"], path=str(base / "cands"))
+    yield "b_docs", "b_cands"
+    spark.sql("DROP TABLE IF EXISTS b_docs")
+    spark.sql("DROP TABLE IF EXISTS b_cands")
+
+
+def test_bucketed_join_no_exchange(spark, bucketed_tables):
+    t1, t2 = bucketed_tables
+    a, b = read_table(spark, t1), read_table(spark, t2)
+    # disable broadcast so the join strategy is SMJ — the point is that
+    # the bucketed scans make it Exchange-free, not that it broadcasts
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = a.join(b, "doc_id")
+        n = j.count()
+        assert n == 20000
+        assert bucketed_join_is_shuffle_free(j), (
+            j._jdf.queryExecution().executedPlan().toString()[:2000]
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_groupby_no_exchange(spark, bucketed_tables):
+    # aggregation on the bucket key also skips the shuffle
+    _, t2 = bucketed_tables
+    b = read_table(spark, t2)
+    agg = b.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert agg.count() == 5000
+    assert bucketed_join_is_shuffle_free(agg), (
+        agg._jdf.queryExecution().executedPlan().toString()[:2000]
+    )
+
+
+def test_bucketed_join_matches_shuffle_join(spark, bucketed_tables):
+    t1, t2 = bucketed_tables
+    a, b = read_table(spark, t1), read_table(spark, t2)
+    bucketed = {tuple(r) for r in a.join(b, "doc_id").collect()}
+    plain = {
+        tuple(r)
+        for r in a.withColumnRenamed("doc_id", "d").repartition(13)
+        .join(b.repartition(17), F.col("d") == F.col("doc_id"))
+        .select("doc_id", "repo", "label_id")
+        .collect()
+    }
+    assert bucketed == plain

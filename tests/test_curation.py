@@ -223,3 +223,21 @@ def test_decode_stub_raises():
 
     with pytest.raises(NotImplementedError):
         decode_image(b"x", deterministic_fake=False)
+
+
+def test_ivf_topk_recall(spark):
+    from rex_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(8)
+    vecs = rng.standard_normal((200, 24))
+    vecs[50] = vecs[9] + 0.01 * rng.standard_normal(24)  # near-dup of 9
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<double>",
+    )
+    exact = brute_force_topk(df, [("q", list(vecs[9]))], k=5)
+    approx = ivf_topk(df, [("q", list(vecs[9]))], k=5, n_centroids=16, n_probe=6)
+    e = {r["vec_id"] for r in exact.collect()}
+    a = {r["vec_id"] for r in approx.collect()}
+    assert 9 in a and 50 in a  # identical + near-dup always recalled together
+    assert len(e & a) >= 3

@@ -80,3 +80,83 @@ def test_windowed_rollup_batchmode(spark):
     ).select(F.col("ts_s").cast("timestamp").alias("ts"), "pred")
     out = {(r["pred"], r["n_triples"]) for r in windowed_rollup(df).collect()}
     assert ("calls", 2) in out and ("imports", 1) in out
+
+
+def test_stream_fused_and_learned_match_batch(spark, tmp_path):
+    # the fused featurized path AND the pre-trained-model scoring path run
+    # unchanged on a stream; triples equal the batch run on the same docs
+    from rex_spark.operators.learn import train_ovr_linear
+    from rex_spark.plans.pipeline import (
+        PipelineConfig,
+        extract_triples_distant,
+        extract_triples_learned,
+    )
+    from rex_spark.streaming.ingest import stream_triples_fused, stream_triples_learned
+
+    src = str(tmp_path / "src2")
+    docs = [
+        ("d1", "alpha calls into beta then gamma"),
+        ("d2", "beta feeds gamma directly"),
+        ("d3", "alpha beta gamma"),
+    ]
+    _write_docs(spark, src, docs)
+    kb = spark.createDataFrame(KB_ROWS, ["subj", "obj", "rel"])
+    lexicon = {w: "ENT" for w in LEX}
+    schema = "doc_id string, content string"
+    conf = PipelineConfig(carry_cols=[])
+
+    batch_docs = spark.read.parquet(src)
+    batch = {
+        tuple(r)
+        for r in extract_triples_distant(batch_docs, kb, lexicon, conf)
+        .select("subj", "pred", "obj", "doc_id")
+        .collect()
+    }
+    assert batch  # sanity: the corpus produces triples
+
+    out = str(tmp_path / "out2")
+    chk = str(tmp_path / "chk2")
+    stream = read_document_stream(spark, src, schema)
+    st = stream_triples_fused(stream, kb, lexicon, conf)
+    q = (
+        st.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        tuple(r)
+        for r in spark.read.parquet(out).select("subj", "pred", "obj", "doc_id").collect()
+    }
+    assert streamed == batch
+
+    # learned path: train OFFLINE on the batch, score the STREAM
+    _, _, model = extract_triples_learned(batch_docs, kb, lexicon, conf, sample_cap=0)
+    batch_learned = {
+        tuple(r)
+        for r in extract_triples_learned(batch_docs, kb, lexicon, conf, model=model)[0]
+        .select("subj", "pred", "obj", "doc_id")
+        .collect()
+    }
+    out3 = str(tmp_path / "out3")
+    chk3 = str(tmp_path / "chk3")
+    stream3 = read_document_stream(spark, src, schema)
+    sl = stream_triples_learned(stream3, kb, lexicon, model, conf)
+    q3 = (
+        sl.select("subj", "pred", "obj", "doc_id")
+        .writeStream.format("parquet")
+        .option("path", out3)
+        .option("checkpointLocation", chk3)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q3.awaitTermination(120)
+    streamed_learned = {
+        tuple(r)
+        for r in spark.read.parquet(out3).select("subj", "pred", "obj", "doc_id").collect()
+    }
+    assert streamed_learned == batch_learned
