@@ -583,6 +583,27 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The full north-rule pipeline driver-visible: distant triples ->
+    # entity linking (blocking + trigram Jaccard + connected components)
+    # -> canonicalized edge set. On this lexicon every mention normalizes
+    # to itself and no two lexicon words reach the 0.6 trigram-Jaccard
+    # link threshold, so the oracle's closed form is the distant edge set
+    # with identity canonicals — which the engine must reproduce through
+    # the REAL linking/CC/canonicalization operators.
+    from rex_spark.operators.linking import canonical_mention_map, canonicalize_triples
+
+    triples = q_triples_distant(spark, sf_dir)
+    mentions = triples.select(F.col("subj").alias("mention")).union(
+        triples.select(F.col("obj").alias("mention"))
+    )
+    mm = canonical_mention_map(mentions)
+    out = canonicalize_triples(triples, mm)
+    return out.select(
+        "subj_canonical", "pred", "obj_canonical", F.col("support").cast("bigint").alias("support")
+    )
+
+
 def q_triples_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SAME semantics as triples_distant but through the engine's fused
     # mapInPandas path (lexer -> pair-gen), proving the Python path agrees
@@ -670,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coref_candidates": q_coref_candidates,
         "triples_fused_pipeline": q_triples_fused_pipeline,
         "triples_learned": q_triples_learned,
+        "kg_end_to_end": q_kg_end_to_end,
     }
 
 
@@ -805,6 +827,13 @@ def oracle_sql() -> dict[str, str]:
         "triples_distant": f"""
             WITH lab AS ({_SQL_LABELED})
             SELECT query_w AS subj, label AS pred, answer_w AS obj, count(*) AS support
+            FROM lab WHERE label <> '{NO_RELATION}'
+            GROUP BY 1, 2, 3
+        """,
+        "kg_end_to_end": f"""
+            WITH lab AS ({_SQL_LABELED})
+            SELECT query_w AS subj_canonical, label AS pred,
+                   answer_w AS obj_canonical, count(*) AS support
             FROM lab WHERE label <> '{NO_RELATION}'
             GROUP BY 1, 2, 3
         """,

@@ -83,10 +83,12 @@ def candidate_link_pairs(
         ).otherwise(F.lit(0)),
     ).select("m", F.concat("block", F.lit("~"), "salt").alias("block"))
     # materialize the trigram set ONCE per distinct mention (pre-join);
-    # the pair stage then never re-derives it
+    # the pair stage then never re-derives it. localCheckpoint: both
+    # self-join legs read the same blocks instead of each re-running the
+    # normalize+distinct+block-size chain (halves the prep shuffles)
     keyed = keyed.withColumn("tg", _trigrams("m")).withColumn(
         "ntg", F.size("tg").cast("double")
-    )
+    ).localCheckpoint()
 
     a = keyed.select(
         "block",
