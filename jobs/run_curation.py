@@ -1,0 +1,48 @@
+"""spark-submit entry point: staged, resumable corpus curation.
+
+    python tools/package.py                       # -> dist/rex_spark.zip
+    spark-submit --py-files dist/rex_spark.zip \\
+        jobs/run_curation.py --input <docs.parquet-or-synth:N> --out /path/cur
+
+Stages (stats / dedup / neardup / curated) checkpoint independently;
+re-running after a kill resumes from the last complete stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True, help="parquet path or synth:N")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--text-col", default=None)
+    ap.add_argument("--min-jaccard", type=float, default=0.5)
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from rex_spark.plans.curate import curate_corpus
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df
+
+    spark = SparkSession.builder.appName("rex-spark-curation").getOrCreate()
+
+    if args.input.startswith("synth:"):
+        docs = corpus_df(spark, CorpusConfig(n_docs=int(args.input.split(":", 1)[1])))
+        text_col = args.text_col or "content"
+    else:
+        docs = spark.read.parquet(args.input)
+        text_col = args.text_col or ("content" if "content" in docs.columns else "text")
+
+    curated = curate_corpus(
+        spark, docs, args.out, text_col=text_col, min_jaccard=args.min_jaccard
+    )
+    print(json.dumps({"out": args.out, "n_in": docs.count(), "n_curated": curated.count()}))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])

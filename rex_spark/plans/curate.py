@@ -1,0 +1,143 @@
+"""Staged, resumable corpus curation (the training-data side of the
+engine; no reference counterpart — rex consumes a ready corpus).
+
+  stage 1  stats    — per-doc quality / token / fingerprint / language
+                      columns (one narrow pass; lang-ID is the only
+                      Python stage)
+  stage 2  dedup    — exact-duplicate keeper map (md5 groupBy)
+  stage 3  neardup  — MinHash-LSH verified near-duplicate pairs
+  stage 4  curated  — the filtered corpus: exact-dup non-keepers and
+                      near-dup losers dropped (loser = larger doc_id),
+                      quality gates applied
+
+Each stage lands as a checkpointed table with manifest + per-partition
+lineage (sources/catalog.py); a killed run resumes from the last
+complete stage and produces checksum-identical output.
+
+At 100 TB: stats is one narrow scan; dedup shuffles once on a uniform
+digest; near-dup shuffles |docs|*n_bands banded rows (never all-pairs);
+the final anti-joins broadcast the (small) loser sets.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.dedup import exact_dedup, minhash_lsh_candidates, verify_jaccard
+from ..operators.textstats import detect_language, quality_cols, token_count_cols
+from ..sources.catalog import resume_or_run
+
+
+def curate_corpus(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    min_jaccard: float = 0.5,
+    n_hashes: int = 120,
+    n_bands: int = 20,
+    min_quality_distinct_ratio: float = 0.05,
+    max_stopword_ratio: float = 0.9,
+) -> DataFrame:
+    """Run (or resume) the staged curation; returns the curated corpus
+    read back from its checkpoint table."""
+    echo = {
+        "min_jaccard": min_jaccard,
+        "n_hashes": n_hashes,
+        "n_bands": n_bands,
+        "min_quality_distinct_ratio": min_quality_distinct_ratio,
+        "max_stopword_ratio": max_stopword_ratio,
+    }
+
+    stats = resume_or_run(
+        spark,
+        os.path.join(out_dir, "stats"),
+        "stats",
+        lambda: detect_language(
+            docs.select(
+                id_col, text_col, *quality_cols(text_col), *token_count_cols(text_col)
+            ),
+            text_col=text_col,
+        ).drop(text_col),
+        config_echo=echo,
+    )
+
+    dedup = resume_or_run(
+        spark,
+        os.path.join(out_dir, "dedup"),
+        "dedup",
+        lambda: exact_dedup(docs, text_col=text_col, id_col=id_col),
+        config_echo=echo,
+    )
+
+    def _exact_kept() -> DataFrame:
+        # exact-dup losers: every doc whose text hash groups to a
+        # different keeper (keeper = min id of the group)
+        with_fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
+        keepers = dedup.select(F.col("fp").alias("_fp"), "keeper")
+        return (
+            with_fp.join(F.broadcast(keepers), "_fp")
+            .where(F.col(id_col) == F.col("keeper"))
+            .drop("_fp", "keeper")
+        )
+
+    def build_neardup() -> DataFrame:
+        # near-dup detection runs AFTER exact removal: exact-dup groups
+        # never re-surface as trivial (J=1.0) near-dup pairs, and the
+        # banded shuffle sees only unique texts
+        d = _exact_kept().select(
+            F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("content")
+        )
+        cand = minhash_lsh_candidates(d, n_hashes=n_hashes, n_bands=n_bands)
+        return verify_jaccard(cand, d, min_jaccard=min_jaccard)
+
+    neardup = resume_or_run(
+        spark, os.path.join(out_dir, "neardup"), "neardup", build_neardup,
+        config_echo=echo,
+    )
+
+    def build_curated() -> DataFrame:
+        exact_kept = _exact_kept()
+        # near-dup loser policy: keep the doc with MORE content (the
+        # longer text), tie-break dropping the lexicographically larger
+        # id — deterministic and id-type agnostic
+        lens = docs.select(
+            F.col(id_col).cast("string").alias("_lid"),
+            F.length(text_col).alias("_len"),
+        )
+        p = (
+            neardup.join(
+                lens.select(F.col("_lid").alias("doc_a"), F.col("_len").alias("_len_a")),
+                "doc_a",
+            ).join(
+                lens.select(F.col("_lid").alias("doc_b"), F.col("_len").alias("_len_b")),
+                "doc_b",
+            )
+        )
+        loser = (
+            F.when(F.col("_len_a") < F.col("_len_b"), F.col("doc_a"))
+            .when(F.col("_len_b") < F.col("_len_a"), F.col("doc_b"))
+            .otherwise(F.greatest("doc_a", "doc_b"))
+        )
+        losers = p.select(loser.alias("_loser")).distinct()
+        near_kept = exact_kept.join(
+            F.broadcast(losers),
+            exact_kept[id_col].cast("string") == F.col("_loser"),
+            "left_anti",
+        )
+        gated = near_kept.join(
+            stats.select(id_col, "distinct_token_ratio", "stopword_ratio"), id_col
+        ).where(
+            (F.col("distinct_token_ratio") >= min_quality_distinct_ratio)
+            & (F.col("stopword_ratio") <= max_stopword_ratio)
+        )
+        return gated.drop("distinct_token_ratio", "stopword_ratio")
+
+    return resume_or_run(
+        spark, os.path.join(out_dir, "curated"), "curated", build_curated,
+        config_echo=echo,
+    )

@@ -1,0 +1,64 @@
+"""Staged curation plan: dedup + near-dup + quality gates, resume."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from rex_spark.plans.curate import curate_corpus
+
+BASE = (
+    "def handler(evt): return [normalize(tok) for tok in evt.tokens if tok] "
+    "# shared processing template for the event pipeline modules "
+)
+
+
+def _docs(spark):
+    rows = []
+    for i in range(40):
+        # distinct filler dominates each doc so cross-pair Jaccard stays
+        # below the 0.5 near-dup threshold
+        filler = " ".join(f"tok{i}w{j}x{(i * 31 + j) % 97}" for j in range(40))
+        rows.append((i, f"{BASE} variant number {i} {filler}"))
+    rows.append((100, rows[3][1]))  # exact dup of 3 -> loser (keeper = min id)
+    # near dup of 7, SHORTER -> loser under the keep-longer policy
+    rows.append((101, rows[7][1][: len(rows[7][1]) - 30]))
+    rows.append((102, "x"))  # degenerate/low-quality doc
+    return spark.createDataFrame(rows, "doc_id long, content string")
+
+
+def test_curate_corpus_stages_and_filters(spark, tmp_path):
+    out = str(tmp_path / "cur")
+    curated = curate_corpus(spark, _docs(spark), out, min_jaccard=0.5)
+    ids = {r["doc_id"] for r in curated.select("doc_id").collect()}
+    assert 3 in ids and 100 not in ids  # exact-dup keeper kept, loser dropped
+    assert 7 in ids and 101 not in ids  # near-dup smaller id kept
+    assert len(ids) >= 35
+    for stage in ("stats", "dedup", "neardup", "curated"):
+        assert os.path.exists(os.path.join(out, stage, "_rex_manifest.json")), stage
+
+
+def test_curate_corpus_resumes(spark, tmp_path):
+    out = str(tmp_path / "cur2")
+    docs = _docs(spark)
+    a = {r["doc_id"] for r in curate_corpus(spark, docs, out).collect()}
+    # second run resumes every stage (manifests unchanged) and returns
+    # the identical corpus
+    mtimes1 = {
+        s: os.path.getmtime(os.path.join(out, s, "_rex_manifest.json"))
+        for s in ("stats", "dedup", "neardup", "curated")
+    }
+    b = {r["doc_id"] for r in curate_corpus(spark, docs, out).collect()}
+    mtimes2 = {
+        s: os.path.getmtime(os.path.join(out, s, "_rex_manifest.json"))
+        for s in ("stats", "dedup", "neardup", "curated")
+    }
+    assert a == b and mtimes1 == mtimes2
+
+    # config change invalidates: different jaccard -> stages rebuild
+    c = curate_corpus(spark, docs, out, min_jaccard=0.9)
+    assert c.count() > 0
+    mtimes3 = {
+        s: os.path.getmtime(os.path.join(out, s, "_rex_manifest.json"))
+        for s in ("stats", "dedup", "neardup", "curated")
+    }
+    assert mtimes3 != mtimes2
