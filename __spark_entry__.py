@@ -583,6 +583,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # multimodal metadata path over a real binary column (text bytes as
+    # payload): size + sha256 digests, all JVM-side Column expressions.
+    from rex_spark.operators.multimodal import attach_media_meta
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    out = attach_media_meta(d)
+    return out.select("doc_id", "payload_bytes", "payload_sha256")
+
+
 def q_kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The full north-rule pipeline driver-visible: distant triples ->
     # entity linking (blocking + trigram Jaccard + connected components)
@@ -692,6 +704,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_fused_pipeline": q_triples_fused_pipeline,
         "triples_learned": q_triples_learned,
         "kg_end_to_end": q_kg_end_to_end,
+        "media_meta": q_media_meta,
     }
 
 
@@ -952,6 +965,12 @@ def oracle_sql() -> dict[str, str]:
                    shared_sent, coref_idx, other_idx,
                    other_tok, tok
             FROM expanded
+        """,
+        "media_meta": """
+            SELECT doc_id,
+                   CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
+                   sha256(text) AS payload_sha256
+            FROM documents
         """,
         "fold_assignment": """
             SELECT doc_id % 4 AS fold, count(*) AS n_docs,

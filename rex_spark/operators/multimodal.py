@@ -102,6 +102,102 @@ def image_features(
     return docs.select(id_col, payload_col).mapInPandas(fn, _FEAT_SCHEMA)
 
 
+def decode_audio(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """STUB: audio decode. Real deployments plug soundfile/ffmpeg here;
+    this container has neither, so only the deterministic fake path
+    exists (seeded from the payload digest -> stable 1-second float32
+    waveform at 16 kHz)."""
+    if not deterministic_fake:
+        raise NotImplementedError(
+            "audio decoding requires an audio library not present in this "
+            "environment; pass deterministic_fake=True for plumbing tests"
+        )
+    seed = int.from_bytes(hashlib.sha256(b"aud" + payload).digest()[:8], "little")
+    rng = np.random.default_rng(seed)
+    return (rng.standard_normal(16_000) * 0.1).astype(np.float32)
+
+
+_AUDIO_FEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("rms", T.FloatType(), False),
+        T.StructField("zero_crossings", T.IntegerType(), False),
+        T.StructField("peak", T.FloatType(), False),
+        T.StructField("payload_sha256", T.StringType(), False),
+    ]
+)
+
+
+def audio_features(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """payload -> waveform stats (rms / zero-crossing count / peak).
+    Arrow-batched; decode stub per module docstring — the vectorized
+    feature math over the decoded waveform is real."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {f.name: [] for f in _AUDIO_FEAT_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                raw = bytes(payload)
+                w = decode_audio(raw, deterministic_fake=deterministic_fake)
+                cols["doc_id"].append(str(doc_id))
+                cols["rms"].append(float(np.sqrt(np.mean(w * w))))
+                cols["zero_crossings"].append(int((np.diff(np.signbit(w)) != 0).sum()))
+                cols["peak"].append(float(np.abs(w).max()))
+                cols["payload_sha256"].append(hashlib.sha256(raw).hexdigest())
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    return docs.select(id_col, payload_col).mapInPandas(fn, _AUDIO_FEAT_SCHEMA)
+
+
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("resized", T.BinaryType(), False),
+        T.StructField("out_width", T.IntegerType(), False),
+        T.StructField("out_height", T.IntegerType(), False),
+    ]
+)
+
+
+def resize_images(
+    docs: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    width: int = 8,
+    height: int = 8,
+    deterministic_fake: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-emit raw bytes. The resize
+    kernel (numpy index sampling) is real; decode is the declared stub."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols = {f.name: [] for f in _RESIZE_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                img = decode_image(bytes(payload), deterministic_fake=deterministic_fake)
+                ys = (np.arange(height) * img.shape[0] // height).astype(int)
+                xs = (np.arange(width) * img.shape[1] // width).astype(int)
+                small = img[np.ix_(ys, xs)]
+                cols["doc_id"].append(str(doc_id))
+                cols["resized"].append(small.tobytes())
+                cols["out_width"].append(width)
+                cols["out_height"].append(height)
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    return docs.select(id_col, payload_col).mapInPandas(fn, _RESIZE_SCHEMA)
+
+
 _FRAME_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.StringType(), False),

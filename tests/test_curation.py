@@ -241,3 +241,31 @@ def test_ivf_topk_recall(spark):
     a = {r["vec_id"] for r in approx.collect()}
     assert 9 in a and 50 in a  # identical + near-dup always recalled together
     assert len(e & a) >= 3
+
+
+def test_audio_and_resize_plumbing(spark):
+    from rex_spark.operators.multimodal import audio_features, resize_images
+
+    df = spark.createDataFrame(
+        [(str(i), bytes([i] * 64)) for i in range(6)],
+        "doc_id string, payload binary",
+    )
+    af = audio_features(df).collect()
+    assert len(af) == 6
+    assert all(0.0 < r["rms"] < 1.0 and r["zero_crossings"] > 0 for r in af)
+    # deterministic: same payload -> same features
+    af2 = {r["doc_id"]: r["rms"] for r in audio_features(df).collect()}
+    assert {r["doc_id"]: r["rms"] for r in af} == af2
+
+    rz = resize_images(df, width=4, height=4).collect()
+    assert len(rz) == 6
+    assert all(len(r["resized"]) == 4 * 4 * 3 for r in rz)
+
+
+def test_audio_decode_stub_raises():
+    import pytest as _pytest
+
+    from rex_spark.operators.multimodal import decode_audio
+
+    with _pytest.raises(NotImplementedError):
+        decode_audio(b"abc")
