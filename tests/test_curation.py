@@ -269,3 +269,27 @@ def test_audio_decode_stub_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_audio(b"abc")
+
+
+def test_degenerate_inputs_do_not_crash(spark):
+    from rex_spark.operators.dedup import (
+        exact_dedup,
+        minhash_lsh_candidates,
+        simhash_candidates,
+        verify_jaccard,
+    )
+    from rex_spark.operators.linking import canonical_mention_map
+
+    empty = spark.createDataFrame([], "doc_id string, content string")
+    assert exact_dedup(empty).count() == 0
+    cand = minhash_lsh_candidates(empty, n_hashes=16, n_bands=4)
+    assert cand.count() == 0
+    assert verify_jaccard(cand, empty).count() == 0
+    assert simhash_candidates(empty).count() == 0
+    assert canonical_mention_map(
+        spark.createDataFrame([], "mention string")
+    ).count() == 0
+    # single-doc corpus: no pairs anywhere, still clean
+    one = spark.createDataFrame([("a", "hello world example")], ["doc_id", "content"])
+    assert minhash_lsh_candidates(one, n_hashes=16, n_bands=4).count() == 0
+    assert simhash_candidates(one).count() == 0

@@ -58,3 +58,30 @@ def test_parquet_pushdown(spark):
     assert "PushedFilters: [" in plan and "LessThan(doc_id,10)" in plan
     # column pruning: content/text columns must NOT be read
     assert "ReadSchema" in plan and "text" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_lsh_topk_single_corpus_python_stage(spark):
+    # VERDICT r1 #8: all n_tables buckets must come from ONE corpus scan —
+    # the plan contains exactly two MapInPandas (corpus + query set), not
+    # one per table
+    from rex_spark.operators.similarity import lsh_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i + j) % 7) for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = lsh_topk(emb, [("q", [1.0] * 8)], k=5, n_planes=4, n_tables=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 2, plan[:1500]
+
+
+def test_ivf_single_assignment_stage(spark):
+    from rex_spark.operators.similarity import ivf_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 11) for j in range(8)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    out = ivf_topk(emb, [("q", [1.0] * 8)], k=5, n_centroids=4, n_probe=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("MapInPandas") == 1, plan[:1500]
