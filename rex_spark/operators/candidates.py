@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
 from ..functions.candidates import sentence_pairs, sentence_pairs_windowed
+from ..functions.chunking import chunk_sentence
 from ..functions.featurize import featurize_sentence_candidate, featurize_sentence_pairs
 from ..functions.filters import no_known_punct
 from ..functions.hashing import DEFAULT_FEATURE_SPACE, hash_feature_bag
@@ -119,8 +120,6 @@ def generate_candidates(
                     else [cf.non_entity] * len(tokens)
                 )
                 if cf.chunk:
-                    from ..functions.chunking import chunk_sentence
-
                     tokens, tags, ents, _ = chunk_sentence(
                         tokens, tags, ents, cf.non_entity
                     )
@@ -211,8 +210,6 @@ def candidates_from_docs(
                 doc_id = str(doc_id)
                 for si, (tokens, tags, ents) in enumerate(lex_document(str(text), lex, lc)):
                     if cf.chunk:
-                        from ..functions.chunking import chunk_sentence
-
                         tokens, tags, ents, _ = chunk_sentence(
                             tokens, tags, ents, cf.non_entity
                         )

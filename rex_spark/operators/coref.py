@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.candidates import coref_candidates
+from ..functions.chunking import chunk_sentence
 from ..functions.featurize import featurize_coref_candidate
 from ..functions.filters import no_known_punct
 from ..functions.hashing import hash_feature_bag
@@ -105,8 +106,6 @@ def generate_coref_candidates(
                     # doc-level analog of DocumentChunker.scala:13-52:
                     # deriving chains on chunked sentences is equivalent
                     # to deriving-then-remapping via old_to_new_indices
-                    from ..functions.chunking import chunk_sentence
-
                     for s in ordered:
                         t2, g2, e2, _ = chunk_sentence(
                             list(s["tokens"]),
