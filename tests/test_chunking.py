@@ -105,3 +105,28 @@ def test_old_to_new_indices():
     mapping = old_to_new_indices(groups)
     # John(0), Smith(1) -> chunk 0; went(2)->1; to(3)->2; China(4)->3; .(5)->4
     assert mapping == {0: 0, 1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+
+
+def test_chunking_roundtrip_properties():
+    # property: chunking partitions the token sequence — groups cover all
+    # indices exactly once in order, and detokenized chunks re-concatenate
+    # to the original token string content
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from rex_spark.functions.chunking import chunk_groups
+
+    ents = st.lists(st.sampled_from(["O", "PER", "LOC"]), min_size=0, max_size=30)
+
+    @settings(max_examples=200, deadline=None)
+    @given(ents)
+    def check(entities):
+        groups = chunk_groups(entities)
+        flat = [i for g in groups for i in g]
+        assert flat == list(range(len(entities)))  # exact partition, in order
+        for g in groups:
+            # a group is a run of one non-O tag, or a single token
+            tags = {entities[i] for i in g}
+            assert len(g) == 1 or (len(tags) == 1 and "O" not in tags)
+
+    check()
