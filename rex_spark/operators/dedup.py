@@ -146,7 +146,17 @@ def minhash_lsh_candidates(
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
 
-    sigs = docs.select(id_col, text_col).mapInPandas(fn, _SIG_SCHEMA)
+    sig_in = docs.select(id_col, text_col)
+    # spread the Python signature work across the session's cores when the
+    # source has few partitions (a single parquet file at small SF); at
+    # real scale the input already has thousands of partitions and this
+    # no-ops
+    target = spark.sparkContext.defaultParallelism
+    if sig_in.rdd.getNumPartitions() < target:
+        sig_in = sig_in.repartition(target)
+    # materialize signatures ONCE: both self-join legs read the blocks
+    # instead of re-running the signature stage
+    sigs = sig_in.mapInPandas(fn, _SIG_SCHEMA).localCheckpoint()
     x = sigs.alias("x")
     y = sigs.alias("y")
     pairs = (
@@ -252,19 +262,24 @@ def simhash_candidates(
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series([simhash64(str(t)) for t in texts], dtype="int64")
 
-    hashed = docs.select(F.col(id_col).alias("doc_id"), sh(F.col(text_col)).alias("sim"))
+    sh_in = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    target = spark.sparkContext.defaultParallelism
+    if sh_in.rdd.getNumPartitions() < target:
+        sh_in = sh_in.repartition(target)
+    # one Python pass, materialized once (r1 unioned n_blocks selects that
+    # EACH recomputed the simhash UDF, then the self-join doubled it)
+    hashed = sh_in.select("doc_id", sh(F.col(text_col)).alias("sim")).localCheckpoint()
     width = 64 // n_blocks
-    blocks = None
-    for i in range(n_blocks):
-        piece = hashed.select(
-            "doc_id",
-            "sim",
-            F.lit(i).alias("block_no"),
-            F.shiftrightunsigned(F.col("sim"), i * width).bitwiseAND(
-                F.lit((1 << width) - 1)
-            ).alias("block_val"),
-        )
-        blocks = piece if blocks is None else blocks.union(piece)
+    block_arr = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sim"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            for i in range(n_blocks)
+        ]
+    )
+    blocks = hashed.select(
+        "doc_id", "sim", F.posexplode(block_arr).alias("block_no", "block_val")
+    )
     xx = blocks.alias("x")
     yy = blocks.alias("y")
     cand = (
@@ -292,7 +307,9 @@ def embedding_neardup_candidates(
     LSH bucket join + exact cosine verify (see similarity.py for search)."""
     from .similarity import _cosine_pairs_exact, _hyperplane_buckets
 
-    buckets = _hyperplane_buckets(embeddings, id_col, vec_col, n_planes, seed)
+    buckets = _hyperplane_buckets(
+        embeddings, id_col, vec_col, n_planes, seed
+    ).localCheckpoint()  # self-join: bucket UDF runs once, not per leg
     xx = buckets.alias("x")
     yy = buckets.alias("y")
     cand = (
