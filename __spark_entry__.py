@@ -46,6 +46,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, rebalanced to session parallelism — for Python-stage
+    queries: the small-SF parquet is a single split, which would pin the
+    whole pandas stage to one core (at real scale the source already has
+    thousands of splits and this is a no-op)."""
+    d = _docs(spark, sf_dir)
+    target = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < target:
+        d = d.repartition(target)
+    return d
+
+
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -388,7 +400,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rex_spark.operators.textstats import detect_language
 
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     return detect_language(d, text_col="text").groupBy("lang_pred").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -415,7 +427,7 @@ def q_chunked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle replicates with gaps-and-islands SQL.
     from rex_spark.operators.chunking import chunk_sentences
 
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     lex_arr = F.array(*[F.lit(w) for w in ENTITY_WORDS])
     sents = d.select(
@@ -445,7 +457,7 @@ def q_chunked_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lex_sentences(spark: SparkSession, sf_dir: str, one_sentence: bool = True):
     """documents -> sentence frame (doc_id, sent_idx, tokens, tags,
     entities) with lexicon-membership ENT tagging, built JVM-side."""
-    d = _docs(spark, sf_dir)
+    d = _docs_par(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     lex_arr = F.array(*[F.lit(w) for w in ENTITY_WORDS])
     ent = lambda arr: F.transform(  # noqa: E731
@@ -623,7 +635,7 @@ def q_triples_fused_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rex_spark.operators.candidates import CandidateConfig, candidates_from_docs
     from rex_spark.operators.lexer import LexerConfig
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs_par(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
     )
     lexicon = {w: "ENT" for w in ENTITY_WORDS}
