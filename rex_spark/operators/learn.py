@@ -150,20 +150,34 @@ def train_ovr_linear(
 
     indptr, indices, values = _csr_from_rows(pdf[f_idx_col].values, pdf[f_val_col].values)
     n = len(pdf)
-    W = np.zeros((feature_space + 1, len(labels)))
+    # train over ACTIVE features only: features absent from the sample get
+    # zero gradient and (being zero-initialized with unregularized-at-zero
+    # L2) stay exactly zero — compacting the weight matrix to the active
+    # set is mathematically identical and shrinks every dense per-iteration
+    # op from feature_space rows to ~nnz-distinct rows (10-30x here)
+    active = np.unique(indices) if len(indices) else np.zeros(0, dtype=np.int64)
+    remap = np.zeros(feature_space, dtype=np.int64)
+    remap[active] = np.arange(len(active))
+    indices_c = remap[indices] if len(indices) else indices
+    dim = len(active)
+    W = np.zeros((dim + 1, len(labels)))
     # full-batch GD with fixed schedule (deterministic); bias unregularized
     velocity = np.zeros_like(W)
     for t in range(iters):
-        scores = _csr_matmul(indptr, indices, values, W)
+        scores = _csr_matmul(indptr, indices_c, values, W)
         p = 1.0 / (1.0 + np.exp(-np.clip(scores, -30, 30)))
         G = (p - y) / n  # (n, k)
         grad = np.zeros_like(W)
-        grad[:-1] = _csr_rmatmul(indptr, indices, values, G, feature_space)
+        grad[:-1] = _csr_rmatmul(indptr, indices_c, values, G, dim)
         grad[-1] = G.sum(axis=0)
         grad[:-1] += l2 * W[:-1] / n
         velocity = 0.9 * velocity + grad
         W -= lr * velocity
-    return LinearModel(labels=labels, weights=W, feature_space=feature_space)
+    W_full = np.zeros((feature_space + 1, len(labels)))
+    if dim:
+        W_full[active] = W[:-1]
+    W_full[-1] = W[-1]
+    return LinearModel(labels=labels, weights=W_full, feature_space=feature_space)
 
 
 def score_candidates(
