@@ -121,6 +121,7 @@ def connected_components(
     src: str = "ma",
     dst: str = "mb",
     max_iter: int = 50,
+    driver_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star.
 
@@ -131,6 +132,12 @@ def connected_components(
     xxhash64 checksum stable across a round). Lineage is cut with
     localCheckpoint per round; each checkpoint is the (contracting)
     edge set, not the full history.
+
+    Edge sets below ``driver_threshold`` are solved by a driver-side
+    union-find instead (identical labels): a handful of Spark rounds is
+    pure scheduling overhead for a graph that fits trivially in driver
+    memory — the same small-side escape hatch as a broadcast join. Pass
+    0 to force the distributed path (tests do).
     """
     # materialize the edge projection ONCE: `edges` may carry an arbitrarily
     # expensive lineage (the full extraction pipeline), and this loop issues
@@ -147,6 +154,41 @@ def connected_components(
     n_edges = e0.count()
     if n_edges == 0:
         return nodes.select("node", F.col("node").alias("comp"))
+    if n_edges < driver_threshold:
+        spark = edges.sparkSession
+        parent: dict = {}
+
+        def find(x):
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in e0.collect():
+            ra, rb = find(row["u"]), find(row["v"])
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # component label = min member (matches the distributed algorithm)
+        members: dict = {}
+        for x in list(parent):
+            members.setdefault(find(x), []).append(x)
+        labels = [
+            (x, min(ms)) for r, ms in members.items() for x in ms
+        ]
+        from pyspark.sql import types as T
+
+        ntype = e0.schema["u"].dataType
+        lab_df = spark.createDataFrame(
+            labels,
+            T.StructType(
+                [T.StructField("node", ntype), T.StructField("comp", ntype)]
+            ),
+        )
+        return nodes.join(lab_df, "node", "left").select(
+            "node", F.coalesce("comp", F.col("node")).alias("comp")
+        )
     # right-size the per-round shuffles: mention graphs are small
     # relative to the corpus; 200 partitions for 8 rows is pure
     # scheduler overhead

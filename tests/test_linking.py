@@ -27,11 +27,13 @@ def test_connected_components_basic(spark):
 
 
 def test_connected_components_chain(spark):
-    # long chain exercises multiple propagation iterations
+    # long chain exercises multiple propagation iterations (distributed
+    # path forced; the driver union-find covers small graphs by default)
     edges = spark.createDataFrame(
         [(f"n{i:02d}", f"n{i+1:02d}") for i in range(12)], ["ma", "mb"]
     )
-    comps = {r["node"]: r["comp"] for r in connected_components(edges).collect()}
+    comps = {r["node"]: r["comp"]
+             for r in connected_components(edges, driver_threshold=0).collect()}
     assert set(comps.values()) == {"n00"}
 
 
@@ -46,7 +48,7 @@ def test_connected_components_pathological_chain(spark):
     )
     comps = {
         r["node"]: r["comp"]
-        for r in connected_components(edges, max_iter=22).collect()
+        for r in connected_components(edges, max_iter=22, driver_threshold=0).collect()
     }
     assert len(comps) == n
     assert set(comps.values()) == {"n0000"}
@@ -182,5 +184,9 @@ def test_connected_components_random_vs_union_find(spark):
     truth = {n: min(members) for members in roots.values() for n in members}
 
     df = spark.createDataFrame(edges, ["ma", "mb"])
-    got = {r["node"]: r["comp"] for r in connected_components(df).collect()}
-    assert got == truth
+    # BOTH paths must agree with the ground truth
+    got_driver = {r["node"]: r["comp"] for r in connected_components(df).collect()}
+    got_dist = {r["node"]: r["comp"]
+                for r in connected_components(df, driver_threshold=0).collect()}
+    assert got_driver == truth
+    assert got_dist == truth
