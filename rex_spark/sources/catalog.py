@@ -50,18 +50,34 @@ def _table_ident(cat: str, path: str, stage: str) -> str:
 
 def _read_stage(spark: SparkSession, path: str, stage: str) -> DataFrame:
     """Read a stage back from wherever write_stage put it: the Iceberg
-    catalog table when one is configured, else the parquet path."""
+    catalog table when one is configured, else the parquet path.
+
+    If the catalog table is missing (e.g. a manifest written by an older
+    table-naming scheme, or a dropped table whose parquet files survive),
+    fall back to the parquet path rather than crashing resume with an
+    AnalysisException — the manifest checksum still guards correctness.
+    """
     cat = _iceberg_catalog(spark)
     if cat:
-        return spark.read.table(_table_ident(cat, path, stage))
+        try:
+            return spark.read.table(_table_ident(cat, path, stage))
+        except Exception:
+            pass
     return spark.read.parquet(path)
 
 
 def table_checksum(df: DataFrame) -> int:
     """Order-insensitive content checksum: sum of per-row murmur3 over all
-    columns (cast to string for type-stability)."""
+    columns (cast to string for type-stability).
+
+    The per-row hash is int32 but the running sum is accumulated as
+    decimal(38,0): a plain BIGINT sum can exceed int64 at ~2^33+ rows,
+    which under Spark 4's default ANSI mode throws mid-job (and under
+    non-ANSI silently wraps, diverging from any later re-verification).
+    Same fix as the CC round-checksum (operators/linking.py).
+    """
     cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns]
-    row = df.select(F.hash(*cols).cast("bigint").alias("h"))
+    row = df.select(F.hash(*cols).cast("decimal(38,0)").alias("h"))
     total = row.agg(F.sum("h").alias("s")).collect()[0]["s"]
     return int(total or 0)
 
