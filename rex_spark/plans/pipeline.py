@@ -106,11 +106,15 @@ def extract_triples_learned(
 
     conf = conf or PipelineConfig()
     cands = candidates(docs, lexicon, conf)
-    # localCheckpoint instead of persist(): same reuse across the train +
-    # score passes, but the blocks are released by the ContextCleaner when
-    # the DataFrame is garbage-collected — repeated calls (bench loops,
-    # long-running drivers) no longer accumulate storage memory.
-    labeled = distant_label(cands, kb).localCheckpoint()
+    # materialize (localCheckpoint by default) instead of persist(): same
+    # reuse across the train + score passes, but the blocks are released
+    # by the ContextCleaner when the DataFrame is garbage-collected —
+    # repeated calls (bench loops, long-running drivers) no longer
+    # accumulate storage memory. Set spark.rex.checkpointDir on a real
+    # cluster for executor-loss-safe durable checkpoints instead.
+    from ..checkpoint import materialize
+
+    labeled = materialize(distant_label(cands, kb))
     key_cols = ["doc_id", "sent_idx", "q_idx", "a_idx"]
     if model is None:
         train_df = labeled
