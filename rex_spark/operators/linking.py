@@ -33,9 +33,28 @@ import logging
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..checkpoint import materialize
 from ..functions.normalize import normalize_col
 
 log = logging.getLogger(__name__)
+
+
+def _join_min_salted(adj: DataFrame, mins: DataFrame, n_salts: int) -> DataFrame:
+    """Join a per-node min table onto an adjacency list without a hub
+    bottleneck: a mega-component hub u with 10^8 adjacency rows would
+    otherwise land on ONE reduce task of the u-keyed shuffle join (the
+    aggregate that produced ``mins`` is safe — min is algebraic, partial
+    aggregation bounds reduce input — but the join is not). Salting the
+    adjacency side by hash(v) and replicating the one-row-per-u min table
+    ``n_salts``-fold caps per-task hub fan-in at |N(u)|/n_salts for the
+    price of an n_salts-times-larger (but still one-row-per-node) build
+    side."""
+    salted = adj.withColumn(
+        "_salt", F.pmod(F.xxhash64("v"), F.lit(n_salts)).cast("int")
+    )
+    salts = adj.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))
+    rep = mins.crossJoin(salts)
+    return salted.join(rep, ["u", "_salt"]).drop("_salt")
 
 
 def _trigrams(col):
@@ -53,6 +72,7 @@ def candidate_link_pairs(
     block_prefix_len: int = 2,
     max_block_size: int = 1000,
     min_jaccard: float = 0.6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """distinct mentions -> (a, b, sim) edges with a < b.
 
@@ -83,12 +103,15 @@ def candidate_link_pairs(
         ).otherwise(F.lit(0)),
     ).select("m", F.concat("block", F.lit("~"), "salt").alias("block"))
     # materialize the trigram set ONCE per distinct mention (pre-join);
-    # the pair stage then never re-derives it. localCheckpoint: both
-    # self-join legs read the same blocks instead of each re-running the
+    # the pair stage then never re-derives it, and both self-join legs
+    # read the same blocks instead of each re-running the
     # normalize+distinct+block-size chain (halves the prep shuffles)
-    keyed = keyed.withColumn("tg", _trigrams("m")).withColumn(
-        "ntg", F.size("tg").cast("double")
-    ).localCheckpoint()
+    keyed = materialize(
+        keyed.withColumn("tg", _trigrams("m")).withColumn(
+            "ntg", F.size("tg").cast("double")
+        ),
+        checkpoint_dir,
+    )
 
     a = keyed.select(
         "block",
@@ -122,6 +145,8 @@ def connected_components(
     dst: str = "mb",
     max_iter: int = 50,
     driver_threshold: int = 100_000,
+    checkpoint_dir: str | None = None,
+    hub_salts: int = 16,
 ) -> DataFrame:
     """(node, component) via alternating large-star / small-star.
 
@@ -129,9 +154,13 @@ def connected_components(
     star forest (every node pointing at its component minimum) in
     O(log n) rounds — a length-d path needs ~2*log2(d) rounds, not d.
     Convergence = edge set fixed point (count + order-independent
-    xxhash64 checksum stable across a round). Lineage is cut with
-    localCheckpoint per round; each checkpoint is the (contracting)
-    edge set, not the full history.
+    xxhash64 checksum stable across a round). Lineage is cut per round
+    (each checkpoint is the contracting edge set, not the full history);
+    pass ``checkpoint_dir`` (or set ``spark.rex.checkpointDir``) for
+    durable checkpoints that survive executor loss on a real cluster.
+
+    ``hub_salts`` bounds the per-task fan-in of mega-component hubs in
+    the per-round min-joins (see ``_join_min_salted``).
 
     Edge sets below ``driver_threshold`` are solved by a driver-side
     union-find instead (identical labels): a handful of Spark rounds is
@@ -142,7 +171,9 @@ def connected_components(
     # materialize the edge projection ONCE: `edges` may carry an arbitrarily
     # expensive lineage (the full extraction pipeline), and this loop issues
     # many actions — each must read checkpoint blocks, never re-run upstream
-    base = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint()
+    base = materialize(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")), checkpoint_dir
+    )
     e0 = base.where(F.col("u") != F.col("v")).distinct()
     # all nodes that ever appear (so self-loop-only / isolated inputs
     # still get a label = themselves)
@@ -193,16 +224,19 @@ def connected_components(
     # relative to the corpus; 200 partitions for 8 rows is pure
     # scheduler overhead
     parts = max(2, min(int(n_edges / 50_000) + 1, 200))
-    e = e0.repartition(parts, "u").localCheckpoint()
+    e = materialize(e0.repartition(parts, "u"), checkpoint_dir)
     prev: tuple = (-1, None)
     converged = False
     for _ in range(max_iter):
         # LARGE-STAR: group the symmetric adjacency by u; attach every
-        # strictly-larger neighbor to m = min(N(u) ∪ {u})
+        # strictly-larger neighbor to m = min(N(u) ∪ {u}). The groupBy is
+        # hub-safe (min is algebraic -> partial aggregation); the
+        # min-table join back onto the adjacency is the skew point and
+        # goes through the salted join.
         sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         lmin = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
         large = (
-            sym.join(lmin, "u")
+            _join_min_salted(sym, lmin, hub_salts)
             .where(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .where(F.col("u") != F.col("v"))
@@ -215,13 +249,13 @@ def connected_components(
         )
         smin = oriented.groupBy("u").agg(F.min("v").alias("m"))
         small = (
-            oriented.join(smin, "u")
+            _join_min_salted(oriented, smin, hub_salts)
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .union(smin.select("u", F.col("m").alias("v")))
             .where(F.col("u") != F.col("v"))
             .distinct()
         )
-        e = small.repartition(parts, "u").localCheckpoint()
+        e = materialize(small.repartition(parts, "u"), checkpoint_dir)
         sig = e.agg(
             F.count(F.lit(1)).alias("n"),
             # decimal sum: immune to long overflow under ANSI mode
@@ -232,14 +266,18 @@ def connected_components(
             converged = True
             break
         prev = cur
+    # e is now a star forest: (node -> component minimum); roots and
+    # isolated nodes label themselves via the left join
+    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
     if not converged:
         log.warning(
             "connected_components: not converged after %d rounds; labels may "
             "split long-diameter components", max_iter,
         )
-    # e is now a star forest: (node -> component minimum); roots and
-    # isolated nodes label themselves via the left join
-    labels = e.select(F.col("u").alias("node"), F.col("v").alias("comp"))
+        # the non-fixed-point edge set may still map one node to several
+        # parents; collapse deterministically so the output stays one row
+        # per node (ADVICE r2) instead of fanning out downstream joins
+        labels = labels.groupBy("node").agg(F.min("comp").alias("comp"))
     return nodes.join(labels, "node", "left").select(
         "node", F.coalesce("comp", F.col("node")).alias("comp")
     )
@@ -251,21 +289,22 @@ def canonical_mention_map(
     block_prefix_len: int = 2,
     max_block_size: int = 1000,
     min_jaccard: float = 0.6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """mention (raw) -> (mention, canonical): canonical = component min of
     the normalized form; singletons map to their own normalized form."""
     # one pass over the (possibly expensive) upstream: the distinct mention
     # set is checkpointed, then both the edge derivation and the final map
     # read it back instead of re-running the extraction lineage
-    raw = (
-        mentions.select(F.col(mention_col).alias("mention"))
-        .distinct()
-        .localCheckpoint()
+    raw = materialize(
+        mentions.select(F.col(mention_col).alias("mention")).distinct(),
+        checkpoint_dir,
     )
     edges = candidate_link_pairs(
-        raw, "mention", block_prefix_len, max_block_size, min_jaccard
+        raw, "mention", block_prefix_len, max_block_size, min_jaccard,
+        checkpoint_dir=checkpoint_dir,
     )
-    comps = connected_components(edges)
+    comps = connected_components(edges, checkpoint_dir=checkpoint_dir)
     normed = raw.select("mention", normalize_col(F.col("mention")).alias("m"))
     return normed.join(comps, normed["m"] == comps["node"], "left").select(
         "mention", F.coalesce(F.col("comp"), F.col("m")).alias("canonical")

@@ -190,3 +190,68 @@ def test_connected_components_random_vs_union_find(spark):
                 for r in connected_components(df, driver_threshold=0).collect()}
     assert got_driver == truth
     assert got_dist == truth
+
+
+def test_connected_components_star_graph_hub(spark):
+    # VERDICT r2 Next-round #8: a mega-hub (one node adjacent to all
+    # others) must not funnel into a single reduce task. The per-round
+    # min-join is salted on hash(v); correctness must be unaffected and
+    # the join key in the plan must include the salt.
+    n = 20_000
+    hub = n + 1  # hub has the LARGEST id: worst case for small-star too
+    edges = spark.range(n).select(
+        F.col("id").alias("ma"), F.lit(hub).alias("mb")
+    )
+    out = connected_components(edges, driver_threshold=0, hub_salts=8)
+    rows = out.collect()
+    assert len(rows) == n + 1
+    assert all(r["comp"] == 0 for r in rows)
+
+
+def test_join_min_salted_plan_and_parity(spark):
+    from rex_spark.operators.linking import _join_min_salted
+
+    adj = spark.createDataFrame(
+        [(1, 5), (1, 7), (1, 9), (2, 3), (2, 4)], ["u", "v"]
+    )
+    mins = adj.groupBy("u").agg(F.min("v").alias("m"))
+    out = _join_min_salted(adj, mins, 4)
+    plain = adj.join(mins, "u")
+    assert sorted(map(tuple, out.collect())) == sorted(map(tuple, plain.collect()))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan  # hub fan-in split across salt keys
+
+
+def test_connected_components_durable_checkpoint(spark, tmp_path):
+    # VERDICT r2 Next-round #4: with a reliable checkpoint dir the loop
+    # must produce identical labels AND actually write RDD checkpoints.
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(50)] + [(100, 101), (101, 102)], ["ma", "mb"]
+    )
+    base = {(r["node"], r["comp"])
+            for r in connected_components(edges, driver_threshold=0).collect()}
+    ckdir = str(tmp_path / "rex_ck")
+    durable = {(r["node"], r["comp"])
+               for r in connected_components(
+                   edges, driver_threshold=0, checkpoint_dir=ckdir).collect()}
+    assert base == durable
+    import os
+    found = [f for root, _, fs in os.walk(ckdir) for f in fs]
+    assert found, "no reliable checkpoint files written"
+
+
+def test_materialize_conf_key_switches_mode(spark, tmp_path):
+    from rex_spark.checkpoint import CONF_KEY, materialize
+
+    df = spark.range(10)
+    out = materialize(df)  # default: localCheckpoint, no dir needed
+    assert out.count() == 10
+    ckdir = str(tmp_path / "conf_ck")
+    spark.conf.set(CONF_KEY, ckdir)
+    try:
+        out2 = materialize(spark.range(7))
+        assert out2.count() == 7
+        import os
+        assert any(fs for _, _, fs in os.walk(ckdir))
+    finally:
+        spark.conf.unset(CONF_KEY)
