@@ -116,6 +116,7 @@ def minhash_lsh_candidates(
     n_bands: int = 32,
     shingle_k: int = 5,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """-> (doc_a, doc_b) near-duplicate CANDIDATE pairs via LSH banding.
 
@@ -155,8 +156,11 @@ def minhash_lsh_candidates(
     if sig_in.rdd.getNumPartitions() < target:
         sig_in = sig_in.repartition(target)
     # materialize signatures ONCE: both self-join legs read the blocks
-    # instead of re-running the signature stage
-    sigs = sig_in.mapInPandas(fn, _SIG_SCHEMA).localCheckpoint()
+    # instead of re-running the signature stage (durable when a
+    # checkpoint dir is configured — see rex_spark.checkpoint)
+    from ..checkpoint import materialize
+
+    sigs = materialize(sig_in.mapInPandas(fn, _SIG_SCHEMA), checkpoint_dir)
     x = sigs.alias("x")
     y = sigs.alias("y")
     pairs = (
@@ -175,28 +179,53 @@ def verify_jaccard(
     id_col: str = "doc_id",
     shingle_k: int = 5,
     min_jaccard: float = 0.6,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate pairs (the
-    precision pass). Joins the texts back (broadcast if small) and
-    computes Jaccard in an Arrow batch."""
-    da = docs.select(F.col(id_col).alias("doc_a"), F.col(text_col).alias("_ta"))
-    db = docs.select(F.col(id_col).alias("doc_b"), F.col(text_col).alias("_tb"))
+    precision pass after the LSH recall pass).
+
+    Each distinct doc appearing in a pair is shingled ONCE in a narrow
+    pandas stage emitting its sorted-unique shingle-hash array (r2
+    re-shingled both sides of every pair inside the pair UDF, so a hot
+    template in P candidate pairs was re-shingled P times — exactly
+    when it matters). The arrays are materialized once (both join legs
+    read blocks), and the per-pair Jaccard is pure JVM:
+    size(array_intersect)/size(array_union) — no Python in the pair
+    stage at all.
+    """
+    from ..checkpoint import materialize
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sh_arr(texts: pd.Series) -> pd.Series:
+        return pd.Series([shingle_set(str(t), shingle_k).tolist() for t in texts])
+
+    # pairs is traversed twice (id set + final join) and usually carries
+    # an expensive LSH lineage — materialize it once
+    pairs = materialize(pairs, checkpoint_dir)
+    ids = (
+        pairs.select(F.col("doc_a").alias(id_col))
+        .union(pairs.select(F.col("doc_b").alias(id_col)))
+        .distinct()
+    )
+    # shingle only docs that actually appear in a candidate pair
+    shingled = materialize(
+        docs.join(ids, id_col, "left_semi").select(
+            F.col(id_col), sh_arr(F.col(text_col)).alias("_sh")
+        ),
+        checkpoint_dir,
+    )
+    da = shingled.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
+    db = shingled.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
     joined = pairs.join(da, "doc_a").join(db, "doc_b")
-
-    @F.pandas_udf(T.DoubleType())
-    def jac(ta: pd.Series, tb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(ta, tb):
-            sa = set(shingle_set(str(x), shingle_k).tolist())
-            sb = set(shingle_set(str(y), shingle_k).tolist())
-            u = len(sa | sb)
-            out.append(len(sa & sb) / u if u else 0.0)
-        return pd.Series(out)
-
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
     return (
-        joined.withColumn("jaccard", F.round(jac("_ta", "_tb"), 6))
+        joined.withColumn(
+            "jaccard",
+            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
+        )
         .where(F.col("jaccard") >= min_jaccard)
-        .drop("_ta", "_tb")
+        .drop("_sa", "_sb")
     )
 
 
@@ -248,6 +277,7 @@ def simhash_candidates(
     text_col: str = "content",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """-> (doc_a, doc_b, hamming) candidates within a Hamming ball.
 
@@ -268,7 +298,11 @@ def simhash_candidates(
         sh_in = sh_in.repartition(target)
     # one Python pass, materialized once (r1 unioned n_blocks selects that
     # EACH recomputed the simhash UDF, then the self-join doubled it)
-    hashed = sh_in.select("doc_id", sh(F.col(text_col)).alias("sim")).localCheckpoint()
+    from ..checkpoint import materialize
+
+    hashed = materialize(
+        sh_in.select("doc_id", sh(F.col(text_col)).alias("sim")), checkpoint_dir
+    )
     width = 64 // n_blocks
     block_arr = F.array(
         *[
@@ -302,14 +336,17 @@ def embedding_neardup_candidates(
     min_cosine: float = 0.95,
     n_planes: int = 16,
     seed: int = 42,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate detection on an embedding column: random-hyperplane
     LSH bucket join + exact cosine verify (see similarity.py for search)."""
+    from ..checkpoint import materialize
     from .similarity import _cosine_pairs_exact, _hyperplane_buckets
 
-    buckets = _hyperplane_buckets(
-        embeddings, id_col, vec_col, n_planes, seed
-    ).localCheckpoint()  # self-join: bucket UDF runs once, not per leg
+    buckets = materialize(  # self-join: bucket UDF runs once, not per leg
+        _hyperplane_buckets(embeddings, id_col, vec_col, n_planes, seed),
+        checkpoint_dir,
+    )
     xx = buckets.alias("x")
     yy = buckets.alias("y")
     cand = (
