@@ -589,7 +589,10 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _tbl(spark, sf_dir, "embeddings")
     qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
-    out = ivf_topk(emb, [("q0", list(qvec))], k=10, n_centroids=16, n_probe=4)
+    out = ivf_topk(
+        emb, [("q0", list(qvec))], k=10, n_centroids=16, n_probe=4,
+        quantizer="lowest_id",  # SQL-re-derivable twin; kmeans path gated in pytest
+    )
     return out.select(
         "query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
     )
@@ -683,6 +686,106 @@ def q_triples_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     return distinct_triples(triples)
 
 
+def q_detokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2 detokenizer (rex text/package.scala:8-17) as a pure JVM
+    # aggregate expression: no space before known punctuation. The
+    # Python kernel (functions/filters.py:detokenize) parity is pinned
+    # in tests/test_ngrams.py. Punctuation tokens are appended so the
+    # glue branch is actually exercised (the corpus itself is clean).
+    from rex_spark.functions.filters import KNOWN_PUNCT
+
+    d = _docs(spark, sf_dir)
+    toks = F.concat(
+        F.slice(F.split("text", " "), 1, 12),
+        F.array(F.lit(";"), F.lit("done"), F.lit(".")),
+    )
+    detok = F.trim(
+        F.aggregate(
+            toks,
+            F.lit(""),
+            lambda acc, t: F.concat(
+                acc,
+                F.when(t.isin(*sorted(KNOWN_PUNCT)), t).otherwise(
+                    F.concat(F.lit(" "), t)
+                ),
+            ),
+        )
+    )
+    return d.select("doc_id", detok.alias("detok"))
+
+
+def q_ngram_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1 adjacent windows (rex AdjacentFeatures.scala:9-13) as JVM slice
+    # expressions over the token array — no join, the windows come from
+    # the same row as the exploded mention. Kernel parity pinned in
+    # tests/test_ngrams.py.
+    w = 2
+    d = _docs(spark, sf_dir)
+    t = d.select("doc_id", F.split("text", " ").alias("toks"))
+    m = t.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "mention")
+    ).where(F.col("mention").isin(*ENTITY_WORDS))
+    left = F.slice(
+        F.col("toks"),
+        F.greatest(F.col("pos") - w, F.lit(0)) + 1,
+        F.least(F.col("pos"), F.lit(w)),
+    )
+    right = F.slice(F.col("toks"), F.col("pos") + 2, w)
+    return m.select(
+        "doc_id",
+        F.col("pos").cast("bigint").alias("pos"),
+        "mention",
+        F.array_join(left, " ").alias("left_ctx"),
+        F.array_join(right, " ").alias("right_ctx"),
+    )
+
+
+def q_relation_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E7/D3: distinct non-negative relation vocabulary through the real
+    # operator (operators/sampling.py:relation_vocabulary).
+    from rex_spark.operators.sampling import relation_vocabulary
+
+    return relation_vocabulary(_labeled_pairs(spark, sf_dir))
+
+
+def q_split_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E5 train/test split through the real operator, with the oracle's
+    # arithmetic unit hash injected (the engine default is murmur3,
+    # which DuckDB cannot evaluate); per-(split, label) histogram.
+    from rex_spark.operators.sampling import train_test_split
+
+    lab = _labeled_pairs(spark, sf_dir)
+    unit = (
+        (F.col("doc_id") * 1000003 + F.col("q_pos") * 131 + F.col("a_pos")) % 100
+    ).cast("double") / 100.0
+    train, test = train_test_split(
+        lab, 0.75, ["doc_id", "q_pos", "a_pos"], unit_expr=unit
+    )
+    return (
+        train.withColumn("split", F.lit("train"))
+        .unionByName(test.withColumn("split", F.lit("test")))
+        .groupBy("split", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Trained-quantizer IVF (rows-only: Lloyd's k-means is not
+    # SQL-replicable; recall >= 0.9 vs brute force is gated in
+    # tests/test_curation.py::test_ivf_kmeans_recall_and_balance).
+    from rex_spark.operators.similarity import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    qvec = emb.where("vec_id = 0").select("embedding").first()["embedding"]
+    out = ivf_topk(
+        emb, [("q0", list(qvec))], k=10, n_centroids=16, n_probe=4,
+        quantizer="kmeans",
+    )
+    return out.select(
+        "query_id", "vec_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -717,6 +820,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triples_learned": q_triples_learned,
         "kg_end_to_end": q_kg_end_to_end,
         "media_meta": q_media_meta,
+        "detokenize": q_detokenize,
+        "ngram_windows": q_ngram_windows,
+        "relation_vocab": q_relation_vocab,
+        "split_histogram": q_split_histogram,
+        "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
     }
 
 
@@ -755,7 +863,57 @@ def oracle_sql() -> dict[str, str]:
     prof_values = ",".join(
         f"({_q(lang)},{_q(g)})" for lang in sorted(_LANG_PROFILES) for g in _LANG_PROFILES[lang]
     )
+    from rex_spark.functions.filters import KNOWN_PUNCT
+
+    punct_list = ",".join(_q(p) for p in sorted(KNOWN_PUNCT))
+
     return {
+        "detokenize": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(text, ' ')[1:12] || [';', 'done', '.'] AS toks
+              FROM documents
+            ),
+            u AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(len(toks))) AS pos
+              FROM t
+            )
+            SELECT doc_id,
+                   trim(string_agg(
+                     CASE WHEN tok IN ({punct_list}) THEN tok
+                          ELSE ' ' || tok END, '' ORDER BY pos)) AS detok
+            FROM u GROUP BY doc_id
+        """,
+        "ngram_windows": f"""
+            WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            m AS (
+              SELECT doc_id, toks,
+                     unnest(toks) AS mention,
+                     unnest(range(len(toks))) AS pos
+              FROM t
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos, mention,
+                   -- coalesce: DuckDB yields NULL (not '') for an empty slice
+                   coalesce(array_to_string(toks[greatest(pos - 2, 0) + 1 : pos], ' '), '') AS left_ctx,
+                   coalesce(array_to_string(toks[pos + 2 : pos + 3], ' '), '') AS right_ctx
+            FROM m WHERE mention IN {_SQL_LEX}
+        """,
+        "relation_vocab": f"""
+            SELECT DISTINCT label AS rel
+            FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+        """,
+        "split_histogram": f"""
+            WITH lab AS ({_SQL_LABELED}),
+            s AS (
+              SELECT label,
+                     CASE WHEN CAST((doc_id * 1000003 + q_pos * 131 + a_pos) % 100
+                               AS DOUBLE) / 100.0 < 0.75
+                          THEN 'train' ELSE 'test' END AS split
+              FROM lab
+            )
+            SELECT split, label, count(*) AS n FROM s GROUP BY split, label
+        """,
         "lang_id": f"""
             WITH prof(lang, gram) AS (VALUES {prof_values}),
             d AS (SELECT doc_id, lower(substr(text, 1, 2000)) AS s FROM documents),

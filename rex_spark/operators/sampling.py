@@ -65,11 +65,17 @@ def cross_validation_splits(
 
 
 def train_test_split(
-    df: DataFrame, proportion_train: float, key_cols: list[str], seed: int = 42
+    df: DataFrame, proportion_train: float, key_cols: list[str], seed: int = 42,
+    unit_expr=None,
 ) -> tuple[DataFrame, DataFrame]:
     """Bernoulli split (default 75/25 in the reference,
-    RelationExtractionLearningMain.scala:280-284, E5)."""
-    u = _unit_hash(key_cols, seed, "split")
+    RelationExtractionLearningMain.scala:280-284, E5).
+
+    ``unit_expr`` optionally overrides the murmur3 unit hash with a
+    caller-supplied [0,1) Column — the oracle twin uses an arithmetic
+    hash both engines can evaluate; engine paths keep the default.
+    """
+    u = _unit_hash(key_cols, seed, "split") if unit_expr is None else unit_expr
     marked = df.withColumn("_is_train", u < proportion_train)
     return (
         marked.where("_is_train").drop("_is_train"),
@@ -88,4 +94,15 @@ def relations_from_data(df: DataFrame, label_col: str = "label") -> list[str]:
         r[label_col]
         for r in df.select(label_col).distinct().collect()
         if r[label_col] != NO_RELATION
+    )
+
+
+def relation_vocabulary(df: DataFrame, label_col: str = "label") -> DataFrame:
+    """DataFrame form of ``relations_from_data`` (E7/D3): the distinct
+    non-negative relation vocabulary as a table — composable downstream
+    (broadcast to scorers) without a driver collect."""
+    return (
+        df.select(F.col(label_col).alias("rel"))
+        .where(F.col(label_col) != NO_RELATION)
+        .distinct()
     )

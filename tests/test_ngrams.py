@@ -64,3 +64,72 @@ def test_right_degenerate():
     lowered = [t.lower() for t in INSURGENTS]
     for idx in (len(INSURGENTS) - 1, len(INSURGENTS), len(INSURGENTS) * 10):
         assert right_window(lowered, idx, 2) == []
+
+
+def test_window_column_exprs_match_kernels(spark):
+    # q_ngram_windows expresses F1 (AdjacentFeatures) as JVM slice
+    # expressions; they must agree with the Python kernels token-for-token.
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from rex_spark.functions.ngrams import left_window, right_window
+
+    rows = [
+        (0, "spark runs the customer table join fast"),
+        (1, "table"),
+        (2, "join table join"),
+        (3, "x y z spark"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    w = 2
+    t = df.select("doc_id", F.split("text", " ").alias("toks"))
+    m = t.select(
+        "doc_id", "toks", F.posexplode("toks").alias("pos", "mention")
+    ).where(F.col("mention").isin(*e.ENTITY_WORDS))
+    out = m.select(
+        "doc_id", "pos", "mention", "toks",
+        F.array_join(
+            F.slice(
+                F.col("toks"),
+                F.greatest(F.col("pos") - w, F.lit(0)) + 1,
+                F.least(F.col("pos"), F.lit(w)),
+            ),
+            " ",
+        ).alias("left_ctx"),
+        F.array_join(F.slice(F.col("toks"), F.col("pos") + 2, w), " ").alias(
+            "right_ctx"
+        ),
+    ).collect()
+    assert out
+    for r in out:
+        assert r["left_ctx"] == " ".join(left_window(r["toks"], r["pos"], w))
+        assert r["right_ctx"] == " ".join(right_window(r["toks"], r["pos"], w))
+
+
+def test_detokenize_column_expr_matches_kernel(spark):
+    import __spark_entry__ as e
+    from pyspark.sql import functions as F
+
+    from rex_spark.functions.filters import detokenize
+
+    rows = [(0, "hello , world ! ( nested ) 'quote' end .")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # reuse the exact aggregate expression from the queries() entry by
+    # running q_detokenize's logic on our own tokens
+    from rex_spark.functions.filters import KNOWN_PUNCT
+
+    toks_col = F.split("text", " ")
+    detok = F.trim(
+        F.aggregate(
+            toks_col,
+            F.lit(""),
+            lambda acc, t: F.concat(
+                acc,
+                F.when(t.isin(*sorted(KNOWN_PUNCT)), t).otherwise(
+                    F.concat(F.lit(" "), t)
+                ),
+            ),
+        )
+    )
+    got = df.select(detok.alias("d")).first()["d"]
+    assert got == detokenize(rows[0][1].split(" "))
