@@ -95,10 +95,13 @@ def main() -> None:
     docs.count()
     kb = kb_df(spark, conf)
     lex = make_lexicon(conf)
-    # min-of-2: the sandbox VM has multi-x run-to-run noise from host
-    # neighbors; background noise only ever adds time
+    # min-of-3 on the headline entries: the sandbox VM has multi-x
+    # run-to-run noise from host neighbors; background noise only ever
+    # adds time, and min-of-2 cannot reject a sample where BOTH runs
+    # landed in a noisy window (the r2 headline regression was exactly
+    # that — isolated re-measurement showed 1.6-1.8 s steady).
     walls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         triples = extract_triples_distant(docs, kb, lex, PipelineConfig())
         n_kg = triples.count()
@@ -117,7 +120,7 @@ def main() -> None:
     sdocs = corpus_df(spark, sconf, partitions=cpus).cache()
     sdocs.count()
     lwalls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         ltriples, _, _ = extract_triples_learned(
             sdocs, kb_df(spark, sconf), make_lexicon(sconf), PipelineConfig(),
@@ -142,7 +145,7 @@ def main() -> None:
         .localCheckpoint()
     )
     lkwalls = []
-    for _ in range(2):
+    for _ in range(3):
         t0 = time.perf_counter()
         canonical_mention_map(mentions).count()
         lkwalls.append(time.perf_counter() - t0)

@@ -76,12 +76,21 @@ def curate_corpus(
 
     def _exact_kept() -> DataFrame:
         # exact-dup losers: every doc whose text hash groups to a
-        # different keeper (keeper = min id of the group)
+        # different keeper (keeper = min id of the group). Only groups
+        # with n_copies > 1 matter — a singleton doc is its own keeper
+        # by construction — so the join's build side is proportional to
+        # the number of DUPLICATE clusters, not corpus size (r2 broadcast
+        # the full keeper map: one row per distinct fingerprint, ~corpus-
+        # sized on a mostly-unique corpus — an OOM at 100 TB). No forced
+        # broadcast hint: AQE broadcasts when the subset is small enough
+        # and shuffle-joins on the uniform md5 key otherwise.
         with_fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
-        keepers = dedup.select(F.col("fp").alias("_fp"), "keeper")
+        dup_groups = dedup.where(F.col("n_copies") > 1).select(
+            F.col("fp").alias("_fp"), "keeper"
+        )
         return (
-            with_fp.join(F.broadcast(keepers), "_fp")
-            .where(F.col(id_col) == F.col("keeper"))
+            with_fp.join(dup_groups, "_fp", "left")
+            .where(F.col("keeper").isNull() | (F.col(id_col) == F.col("keeper")))
             .drop("_fp", "keeper")
         )
 

@@ -171,22 +171,33 @@ def main() -> None:
         attempts.append({"low": attempt["low"], "high": attempt["high"],
                          "efficiency": attempt["efficiency"],
                          "hw_efficiency_bound": hw_bound})
-        # best-of-attempts: host noise only ever LOWERS measured efficiency
-        # (it adds contention), so the max across attempts is the least
-        # contaminated estimate of the job's true scaling
+        # ROBUST aggregation (ADVICE r2, medium): best-of-attempts is
+        # upward-biased — contention during the LOW run deflates the
+        # denominator and INFLATES the ratio, so max() selects
+        # favorable-noise outliers. The headline is the MEDIAN of
+        # attempts and `pass` gates on it; best is reported alongside,
+        # and every attempt keeps its concurrent hw-contention bound so
+        # efficiency_vs_hw_bound can be read per attempt.
+        effs = sorted(a["efficiency"] for a in attempts)
+        n = len(effs)
+        median = (
+            effs[n // 2] if n % 2 else round((effs[n // 2 - 1] + effs[n // 2]) / 2, 3)
+        )
         best = max(attempts, key=lambda a: a["efficiency"])
         summary[job] = {
-            **attempt,
-            "low": best["low"], "high": best["high"],
-            "efficiency": best["efficiency"],
-            "hw_efficiency_bound": best.get("hw_efficiency_bound", hw_bound),
-            "pass": best["efficiency"] >= 0.8,
+            **attempt,  # latest attempt's low/high detail rows
+            "efficiency": median,
+            "efficiency_median": median,
+            "efficiency_best": best["efficiency"],
+            "efficiency_latest": attempt["efficiency"],
+            "n_attempts": n,
+            "hw_efficiency_bound": hw_bound,
+            "pass": median >= 0.8,
             "attempts": attempts,
         }
-        summary[job]["efficiency_vs_hw_bound"] = round(
-            summary[job]["efficiency"]
-            / summary[job].get("hw_efficiency_bound", hw_bound), 3)
+        summary[job]["efficiency_vs_hw_bound"] = round(median / hw_bound, 3)
         print(json.dumps({job: summary[job]["efficiency"],
+                          "median": median, "best": best["efficiency"],
                           "pass": summary[job]["pass"]}))
     os.makedirs("bench_out", exist_ok=True)
     with open("bench_out/scaling.json", "w") as f:
