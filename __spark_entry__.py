@@ -786,6 +786,43 @@ def q_ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_word_views(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5/T6 word views + filters (rex WordView/WordFilter) as JVM
+    # transform/filter lambdas; kernel parity pinned in tests/test_ngrams.
+    # Uppercasing + appended punctuation exercise both branches (the
+    # corpus itself is clean lowercase).
+    from rex_spark.functions.filters import KNOWN_PUNCT
+
+    d = _docs(spark, sf_dir)
+    toks = F.concat(
+        F.slice(F.split(F.upper("text"), " "), 1, 10),
+        F.array(F.lit(","), F.lit("!")),
+    )
+    viewed = F.array_join(F.transform(toks, lambda t: F.lower(t)), " ")
+    n_kept = F.size(F.filter(toks, lambda t: ~t.isin(*sorted(KNOWN_PUNCT))))
+    return d.select(
+        "doc_id", viewed.alias("viewed"), n_kept.cast("bigint").alias("n_kept")
+    )
+
+
+def q_entity_linking_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The marquee linking operator END TO END: normalize -> blocking
+    # (prefix + length bucket) -> trigram Jaccard edges -> connected
+    # components -> canonical map (operators/linking.py). Mention set:
+    # the corpus vocabulary plus pluralized near-miss variants, sized so
+    # every block stays under the salting cap (salt = 0 -> the oracle
+    # replays blocking + Jaccard exactly and closes components with a
+    # recursive CTE).
+    from rex_spark.operators.linking import canonical_mention_map
+
+    d = _docs(spark, sf_dir)
+    words = d.select(F.explode(F.split("text", " ")).alias("w")).distinct()
+    mentions = words.select(F.col("w").alias("mention")).union(
+        words.select(F.concat("w", F.lit("s")).alias("mention"))
+    )
+    return canonical_mention_map(mentions)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -825,6 +862,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "relation_vocab": q_relation_vocab,
         "split_histogram": q_split_histogram,
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
+        "word_views": q_word_views,
+        "entity_linking_map": q_entity_linking_map,
     }
 
 
@@ -913,6 +952,54 @@ def oracle_sql() -> dict[str, str]:
               FROM lab
             )
             SELECT split, label, count(*) AS n FROM s GROUP BY split, label
+        """,
+        "word_views": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     string_split(upper(text), ' ')[1:10] || [',', '!'] AS toks
+              FROM documents
+            )
+            SELECT doc_id,
+                   array_to_string(list_transform(toks, t -> lower(t)), ' ') AS viewed,
+                   CAST(len(list_filter(toks, t -> t NOT IN ({punct_list}))) AS BIGINT) AS n_kept
+            FROM t
+        """,
+        "entity_linking_map": f"""
+            WITH RECURSIVE
+            words AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS w FROM documents),
+            mentions AS (
+              SELECT w AS mention FROM words
+              UNION SELECT w || 's' FROM words
+            ),
+            m AS (
+              SELECT DISTINCT {normalize_sql_duckdb('mention')} AS m FROM mentions
+              WHERE length({normalize_sql_duckdb('mention')}) > 0
+            ),
+            tg AS (
+              SELECT m,
+                     list_distinct(CASE WHEN length(m) < 3 THEN [m]
+                       ELSE [substr(m, i + 1, 3) for i in range(length(m) - 2)] END) AS t,
+                     substr(m, 1, 2) AS pfx,
+                     CAST(floor(length(m) / 4) AS INT) AS lb
+              FROM m
+            ),
+            e AS (  -- blocked pairs, exact trigram Jaccard >= 0.6
+              SELECT a.m AS ma, b.m AS mb
+              FROM tg a JOIN tg b ON a.pfx = b.pfx AND a.lb = b.lb AND a.m < b.m
+              WHERE CAST(len(list_intersect(a.t, b.t)) AS DOUBLE)
+                    / (len(a.t) + len(b.t) - len(list_intersect(a.t, b.t))) >= 0.6
+            ),
+            sym AS (SELECT ma AS a, mb AS b FROM e UNION SELECT mb, ma FROM e),
+            reach(node, other) AS (  -- transitive closure (components are tiny)
+              SELECT m, m FROM m
+              UNION
+              SELECT r.node, s.b FROM reach r JOIN sym s ON s.a = r.other
+            ),
+            comp AS (SELECT node, min(other) AS comp FROM reach GROUP BY node)
+            SELECT raw.mention,
+                   coalesce(comp.comp, {normalize_sql_duckdb('raw.mention')}) AS canonical
+            FROM (SELECT DISTINCT mention FROM mentions) raw
+            LEFT JOIN comp ON comp.node = {normalize_sql_duckdb('raw.mention')}
         """,
         "lang_id": f"""
             WITH prof(lang, gram) AS (VALUES {prof_values}),

@@ -133,3 +133,25 @@ def test_detokenize_column_expr_matches_kernel(spark):
     )
     got = df.select(detok.alias("d")).first()["d"]
     assert got == detokenize(rows[0][1].split(" "))
+
+
+def test_word_view_filter_column_exprs_match_kernels(spark):
+    # q_word_views expresses T5/T6 as JVM transform/filter lambdas; they
+    # must agree with the Python kernels.
+    from pyspark.sql import functions as F
+
+    from rex_spark.functions.filters import (
+        KNOWN_PUNCT,
+        no_known_punct,
+        view_lowercase,
+    )
+
+    rows = [(0, ["Hello", ",", "WORLD", "!", "(", "Mixed", ")", "end"])]
+    df = spark.createDataFrame(rows, "doc_id long, toks array<string>")
+    out = df.select(
+        F.transform("toks", lambda t: F.lower(t)).alias("viewed"),
+        F.filter("toks", lambda t: ~t.isin(*sorted(KNOWN_PUNCT))).alias("kept"),
+    ).first()
+    toks = rows[0][1]
+    assert out["viewed"] == view_lowercase(toks)
+    assert out["kept"] == [t for t, k in zip(toks, no_known_punct(toks)) if k]
