@@ -557,16 +557,29 @@ def q_coref_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # C3: cross-sentence coref candidate generation (rex CandGen.scala:37-116)
     # over 20-token sentence windows; chains = entity surface in >= 2
     # sentences of a doc. Feature columns dropped (not SQL-replicable);
-    # the pair/role enumeration is checked exactly.
+    # the pair/role enumeration is checked exactly. Runs the FUSED
+    # whole-doc operator (split -> chains -> featurize in one narrow
+    # stage, zero shuffle); row-parity with the nested-frame path is
+    # pinned in tests/test_coref_spark.py.
     from rex_spark.operators.candidates import CandidateConfig
-    from rex_spark.operators.coref import generate_coref_candidates, nest_documents
+    from rex_spark.operators.coref import coref_candidates_from_docs
 
-    sents = _lex_sentences(spark, sf_dir, one_sentence=False).where(
-        F.col("doc_id").cast("bigint") < 100
+    ent = set(ENTITY_WORDS)
+
+    def split(text: str):
+        toks = text.split(" ")
+        return [
+            (toks[i : i + 20], None, ["ENT" if t in ent else "O" for t in toks[i : i + 20]])
+            for i in range(0, len(toks), 20)
+        ]
+
+    d = (
+        _docs_par(spark, sf_dir)
+        .where(F.col("doc_id") < 100)
+        .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
-    nested = nest_documents(sents)
-    cands = generate_coref_candidates(
-        nested, CandidateConfig(candidate_filter="entities")
+    cands = coref_candidates_from_docs(
+        d, split, CandidateConfig(candidate_filter="entities")
     )
     return cands.select(
         F.col("doc_id").cast("bigint").alias("doc_id"),
@@ -823,6 +836,108 @@ def q_entity_linking_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_mention_map(mentions)
 
 
+def q_content_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Per-row sha256 content-equality vs source (plans/materialize.py,
+    # the north-star materialization invariant). Carried digests are
+    # hashed from the CURRENT documents; the "source" is then drifted on
+    # doc_id % 7 == 0 (content + '~') — exactly those rows must come
+    # back content_ok=false, carrying the drifted source digest. The
+    # oracle recomputes both digests in DuckDB sha256().
+    from rex_spark.plans.materialize import content_equality_check
+
+    d = _docs(spark, sf_dir)
+    carried = d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
+    drifted = d.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0, F.concat(F.col("text"), F.lit("~"))).otherwise(
+            F.col("text")
+        ),
+    )
+    checked = content_equality_check(carried, drifted, content_col="text")
+    return checked.where(~F.col("content_ok")).select("doc_id", "src_sha256")
+
+
+def q_dep_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Scope-tree dependency-path features (functions/deppath.py — the
+    # north-star "dependency-path features" over code tokens). The test
+    # corpus has no brackets, so both engines first bracketize with the
+    # same rule (scan -> '(' , sort -> ')'), then compute the path
+    # between the first and last entity-word positions per doc; the
+    # oracle replays the stack walk with a recursive CTE and the
+    # LCA/path assembly with DuckDB list lambdas.
+    import pandas as pd
+
+    from rex_spark.functions.deppath import dep_path, dep_path_len, scope_ancestors
+
+    ent = set(ENTITY_WORDS)
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "q_pos": [], "a_pos": [], "path": [], "path_len": []
+            }
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = str(text).split(" ")
+                br = ["(" if t == "scan" else ")" if t == "sort" else t for t in toks]
+                pos = [i for i, t in enumerate(toks) if t in ent]
+                if len(pos) < 2 or pos[0] == pos[-1]:
+                    continue
+                q, a = pos[0], pos[-1]
+                chains = scope_ancestors(br)
+                out["doc_id"].append(doc_id)
+                out["q_pos"].append(q)
+                out["a_pos"].append(a)
+                out["path"].append(dep_path(br, q, a, chains))
+                out["path_len"].append(dep_path_len(br, q, a, chains))
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    return _docs_par(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        fn, "doc_id bigint, q_pos bigint, a_pos bigint, path string, path_len bigint"
+    )
+
+
+def q_constraint_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The PFOL-replacement constraint-filtering pass END TO END
+    # (operators/constraints.py; north-star: "equivalent constraint-
+    # filtering pass"). Candidate set = distant triples + their reverses
+    # (extractor noise) + a planted support-0 'qux' object per (subj,
+    # pred). KB-derived TYPE licensing (etype = first char) drops the
+    # unlicensed reverses — but keeps the palindromic-type one
+    # (processes: s->s) — untyped 'qux' passes type checks and is then
+    # dropped by the FUNCTIONAL (arity) constraint's support window.
+    from rex_spark.operators.constraints import (
+        apply_functional_constraint,
+        apply_type_constraints,
+        derive_type_constraints,
+        functional_relations,
+    )
+
+    from rex_spark.checkpoint import materialize
+
+    # base feeds THREE union branches — materialize once or the distant
+    # subtree (mention pairs + KB join + agg) re-executes per branch
+    base = materialize(q_triples_distant(spark, sf_dir))
+    rev = base.select(
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"), "support"
+    )
+    extra = (
+        base.select("subj", "pred")
+        .distinct()
+        .withColumn("obj", F.lit("qux"))
+        .withColumn("support", F.lit(0).cast("bigint"))
+    )
+    cand = base.unionByName(rev).unionByName(extra)
+    type_map = spark.createDataFrame(
+        [(w, w[:1]) for w in ENTITY_WORDS], "entity string, etype string"
+    )
+    kb = _kb_df(spark)
+    cons = derive_type_constraints(kb, type_map)
+    kept = apply_type_constraints(cand, cons, type_map)
+    out = apply_functional_constraint(kept, functional_relations(kb))
+    return out.select("subj", "pred", "obj", "support")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -864,6 +979,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_kmeans_topk": q_ann_ivf_kmeans_topk,
         "word_views": q_word_views,
         "entity_linking_map": q_entity_linking_map,
+        "content_equality": q_content_equality,
+        "dep_paths": q_dep_paths,
+        "constraint_filter": q_constraint_filter,
     }
 
 
@@ -891,6 +1009,8 @@ def oracle_sql() -> dict[str, str]:
 
     def _q(s: str) -> str:
         return "'" + s.replace("'", "''") + "'"
+
+    ent_list = ",".join(_q(w) for w in ENTITY_WORDS)
 
     gold_values = ",".join(f"({_q(s)},{_q(p)},{_q(o)})" for s, p, o in _gold)
 
@@ -1521,5 +1641,132 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT vec_id, round(cos_sim, 5) AS cos_sim
             FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+        """,
+        "content_equality": """
+            SELECT doc_id, sha256(text || '~') AS src_sha256
+            FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+        """,
+        "constraint_filter": f"""
+            WITH base AS (
+              SELECT query_w AS subj, label AS pred, answer_w AS obj,
+                     count(*) AS support
+              FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+              GROUP BY 1, 2, 3
+            ),
+            cand AS (
+              SELECT * FROM base
+              UNION ALL SELECT obj, pred, subj, support FROM base
+              UNION ALL SELECT DISTINCT subj, pred, 'qux', CAST(0 AS BIGINT)
+                        FROM base
+            ),
+            tm(entity, etype) AS (
+              VALUES {",".join(f"({_q(w)},{_q(w[0])})" for w in ENTITY_WORDS)}
+            ),
+            kb(subj, obj, rel) AS {_SQL_KB},
+            lic AS (
+              SELECT DISTINCT kb.rel AS pred, st.etype AS subj_type,
+                     ot.etype AS obj_type
+              FROM kb JOIN tm st ON kb.subj = st.entity
+                      JOIN tm ot ON kb.obj = ot.entity
+            ),
+            typed AS (
+              SELECT c.*, st.etype AS subj_type, ot.etype AS obj_type
+              FROM cand c LEFT JOIN tm st ON c.subj = st.entity
+                          LEFT JOIN tm ot ON c.obj = ot.entity
+            ),
+            keptt AS (
+              SELECT subj, pred, obj, support FROM typed t
+              WHERE t.subj_type IS NULL OR t.obj_type IS NULL
+                 OR EXISTS (SELECT 1 FROM lic l
+                            WHERE l.pred = t.pred
+                              AND l.subj_type = t.subj_type
+                              AND l.obj_type = t.obj_type)
+            ),
+            fr AS (
+              SELECT rel FROM (
+                SELECT rel, subj, count(DISTINCT obj) AS n
+                FROM kb GROUP BY 1, 2
+              ) GROUP BY rel HAVING max(n) = 1
+            ),
+            ranked AS (
+              SELECT k.*,
+                     row_number() OVER (PARTITION BY subj, pred
+                                        ORDER BY support DESC, obj ASC) AS rn,
+                     pred IN (SELECT rel FROM fr) AS isf
+              FROM keptt k
+            )
+            SELECT subj, pred, obj, support
+            FROM ranked WHERE NOT isf OR rn = 1
+        """,
+        "dep_paths": f"""
+            WITH RECURSIVE
+            toks AS (
+              SELECT doc_id,
+                     unnest(range(len(string_split(text, ' ')))) AS pos,
+                     unnest(list_transform(string_split(text, ' '),
+                       t -> CASE t WHEN 'scan' THEN '(' WHEN 'sort' THEN ')'
+                                   ELSE t END)) AS tok,
+                     unnest(string_split(text, ' ')) AS orig
+              FROM documents
+            ),
+            -- replay functions/deppath.scope_ancestors: a closer pops
+            -- BEFORE its chain is recorded, an opener pushes AFTER
+            walk(doc_id, pos, stack, chain) AS (
+              SELECT DISTINCT doc_id, CAST(-1 AS BIGINT),
+                     CAST([] AS BIGINT[]), CAST([] AS BIGINT[])
+              FROM toks
+              UNION ALL
+              SELECT t.doc_id, t.pos,
+                     CASE WHEN t.tok IN ('(', '[', '{{')
+                          THEN list_append(
+                            CASE WHEN t.tok IN (')', ']', '}}') AND len(w.stack) > 0
+                                 THEN w.stack[1:len(w.stack) - 1] ELSE w.stack END,
+                            t.pos)
+                          WHEN t.tok IN (')', ']', '}}') AND len(w.stack) > 0
+                          THEN w.stack[1:len(w.stack) - 1]
+                          ELSE w.stack END,
+                     CASE WHEN t.tok IN (')', ']', '}}') AND len(w.stack) > 0
+                          THEN w.stack[1:len(w.stack) - 1] ELSE w.stack END
+              FROM walk w JOIN toks t ON t.doc_id = w.doc_id AND t.pos = w.pos + 1
+            ),
+            arr AS (SELECT doc_id, list(tok ORDER BY pos) AS ts FROM toks GROUP BY doc_id),
+            ep AS (
+              SELECT doc_id, min(pos) AS q_pos, max(pos) AS a_pos
+              FROM toks WHERE orig IN ({ent_list})
+              GROUP BY doc_id HAVING min(pos) < max(pos)
+            ),
+            pr AS (
+              SELECT e.doc_id, e.q_pos, e.a_pos, cq.chain AS ca, cb.chain AS cb, arr.ts
+              FROM ep e
+              JOIN walk cq ON cq.doc_id = e.doc_id AND cq.pos = e.q_pos
+              JOIN walk cb ON cb.doc_id = e.doc_id AND cb.pos = e.a_pos
+              JOIN arr ON arr.doc_id = e.doc_id
+            ),
+            -- k = longest common ancestor-prefix; label(j) = token before
+            -- opener j unless it is a bracket or j = 0 (deppath.scope_label)
+            lab AS (
+              SELECT *,
+                len(list_filter(range(1, least(len(ca), len(cb)) + 1),
+                    i -> ca[1:CAST(i AS INT)] = cb[1:CAST(i AS INT)])) AS k,
+                list_transform(ca, j -> CASE
+                  WHEN j > 0 AND NOT ts[CAST(j AS INT)] IN ('(',')','[',']','{{','}}')
+                  THEN ts[CAST(j AS INT)] ELSE ts[CAST(j AS INT) + 1] END) AS la,
+                list_transform(cb, j -> CASE
+                  WHEN j > 0 AND NOT ts[CAST(j AS INT)] IN ('(',')','[',']','{{','}}')
+                  THEN ts[CAST(j AS INT)] ELSE ts[CAST(j AS INT) + 1] END) AS lb
+              FROM pr
+            )
+            SELECT doc_id, q_pos, a_pos,
+                   'dep:'
+                   || CASE WHEN len(la) > k
+                           THEN array_to_string(list_reverse(la[CAST(k + 1 AS INT):]), '<') || '<'
+                           ELSE '' END
+                   || '^'
+                   || CASE WHEN k > 0 THEN la[CAST(k AS INT)] ELSE 'ROOT' END
+                   || CASE WHEN len(lb) > k
+                           THEN '>' || array_to_string(lb[CAST(k + 1 AS INT):], '>')
+                           ELSE '' END AS path,
+                   (len(la) - k) + (len(lb) - k) AS path_len
+            FROM lab ORDER BY doc_id
         """,
     }

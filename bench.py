@@ -71,6 +71,9 @@ def main() -> None:
         "triples_fused_pipeline",
         "dedup_simhash",
         "dedup_minhash",
+        "content_equality",
+        "dep_paths",
+        "constraint_filter",
     ]
 
     # warm the JVM + parquet footers once (not timed)

@@ -1,0 +1,113 @@
+"""Deterministic dependency-path features over code tokens.
+
+The reference parses its documents with CoreNLP basic dependencies
+enabled (rex CoreNlpTextProcessor.scala:68) but its featurizer never
+consumes the parse — TextFeatuerizer.scala builds adjacency + inside
+n-grams only. For source-code documents a linguistic parser is both
+unavailable and wrong; the engine instead derives a deterministic
+SCOPE TREE from bracket nesting — the code analog of a dependency
+parse — and emits the path between the two candidate endpoints as an
+extra hashed feature (north-star "dependency-path features").
+
+Definitions (pure functions of the token list, replicated verbatim by
+the DuckDB oracle twin in ``__spark_entry__.oracle_sql()['dep_paths']``):
+
+  - openers are ``( [ {``, closers ``) ] }``; a stray closer on an
+    empty stack is ignored (malformed snippets must not crash a
+    100 TB run), unclosed openers simply remain on the stack;
+  - ancestors(i) = the stack of enclosing opener positions when token
+    i is read, outermost first.  A closer pops BEFORE its own chain is
+    recorded (it belongs to the outer scope); an opener pushes AFTER
+    (it is a child of the enclosing scope, not of itself);
+  - label(j) = the token immediately before opener j (the "head word"
+    of the scope: ``foo`` in ``foo( ... )``) unless j is at position 0
+    or preceded by another bracket, in which case the opener char;
+  - path(q, a): drop the common ancestor prefix (the lowest common
+    ancestor scope is the last shared element, or ROOT); the feature is
+
+        dep:<up labels, deepest first><^LCA label><down labels>
+
+    joined with ``<`` on the way up and ``>`` on the way down, e.g.
+    ``dep:inner<outer^root>other`` — two tokens in the same scope give
+    ``dep:^<label>`` (path length 0).
+
+Per-candidate cost is O(depth) after a single O(n) stack walk per
+sentence, computed once per sentence inside the existing fused pandas
+stage (operators/candidates.py) — no extra Python hop, no shuffle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+OPENERS = frozenset("([{")
+CLOSERS = frozenset(")]}")
+_BRACKETS = OPENERS | CLOSERS
+
+
+def scope_ancestors(tokens: Sequence[str]) -> list[list[int]]:
+    """Per-token enclosing-opener chains (outermost first), one stack walk."""
+    stack: list[int] = []
+    chains: list[list[int]] = []
+    for i, t in enumerate(tokens):
+        if t in CLOSERS and stack:
+            stack.pop()
+        chains.append(list(stack))
+        if t in OPENERS:
+            stack.append(i)
+    return chains
+
+
+def scope_label(tokens: Sequence[str], j: int) -> str:
+    """Head word of the scope opened at j: the preceding non-bracket token."""
+    if j > 0 and tokens[j - 1] not in _BRACKETS:
+        return tokens[j - 1]
+    return tokens[j]
+
+
+def dep_path(
+    tokens: Sequence[str],
+    qi: int,
+    ai: int,
+    chains: Sequence[list[int]] | None = None,
+) -> str:
+    """Dependency-path feature string between token qi and token ai.
+
+    Pass precomputed ``chains`` (from :func:`scope_ancestors`) when
+    featurizing many pairs of one sentence.
+    """
+    if chains is None:
+        chains = scope_ancestors(tokens)
+    ca, cb = chains[qi], chains[ai]
+    k = 0
+    while k < min(len(ca), len(cb)) and ca[k] == cb[k]:
+        k += 1
+    lca = scope_label(tokens, ca[k - 1]) if k else "ROOT"
+    up = [scope_label(tokens, j) for j in reversed(ca[k:])]
+    down = [scope_label(tokens, j) for j in cb[k:]]
+    out = "dep:"
+    if up:
+        out += "<".join(up) + "<"
+    out += "^" + lca
+    if down:
+        out += ">" + ">".join(down)
+    return out
+
+
+def dep_path_len(
+    tokens: Sequence[str],
+    qi: int,
+    ai: int,
+    chains: Sequence[list[int]] | None = None,
+) -> int:
+    """Number of tree edges on the path (0 = same scope)."""
+    if chains is None:
+        chains = scope_ancestors(tokens)
+    ca, cb = chains[qi], chains[ai]
+    k = 0
+    while k < min(len(ca), len(cb)) and ca[k] == cb[k]:
+        k += 1
+    return (len(ca) - k) + (len(cb) - k)
+
+
+__all__ = ["scope_ancestors", "scope_label", "dep_path", "dep_path_len"]

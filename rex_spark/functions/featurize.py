@@ -95,6 +95,7 @@ def featurize_sentence_candidate(
     inside_skip: int = 4,
     tags: Sequence[str] | None = None,
     direction_feature: bool = False,
+    dep_path_feature: bool = False,
 ) -> dict[str, float]:
     """Feature bag for a same-sentence candidate under the app-default
     config: adjacent n-grams over lowercased punct-filtered tokens +
@@ -108,6 +109,11 @@ def featurize_sentence_candidate(
     and its reverse get identical features, so no linear model can emit
     directed triples from it. The engine adds one marker feature
     ``dir:fwd``/``dir:rev`` to break the tie.
+
+    ``dep_path_feature`` (engine extension, off in reference-parity
+    mode): one scope-tree dependency-path feature between the
+    endpoints (functions/deppath.py — the north-star
+    "dependency-path features" over code tokens).
     """
     from .filters import no_known_punct, view_lowercase
 
@@ -127,6 +133,10 @@ def featurize_sentence_candidate(
         )
     if direction_feature:
         feats.append("dir:fwd" if qi < ai else "dir:rev")
+    if dep_path_feature:
+        from .deppath import dep_path
+
+        feats.append(dep_path(tokens, qi, ai))
     return dict(Counter(feats))
 
 
@@ -194,17 +204,23 @@ def featurize_sentence_pairs(
     inside_skip: int = 4,
     tags: Sequence[str] | None = None,
     direction_feature: bool = False,
+    dep_path_feature: bool = False,
 ) -> list[dict[str, float]]:
     """Feature bags for MANY candidate pairs of one sentence — identical
     output to calling ``featurize_sentence_candidate`` per pair, but the
-    per-sentence work (punct mask, lowercase view, zipped pairs) is
-    computed once. This is the fused-operator hot path (~6 pairs share
-    each sentence on real corpora)."""
+    per-sentence work (punct mask, lowercase view, zipped pairs, scope
+    ancestor chains) is computed once. This is the fused-operator hot
+    path (~6 pairs share each sentence on real corpora)."""
     from .filters import no_known_punct, view_lowercase
 
     keep = no_known_punct(tokens, tags)
     viewed = view_lowercase(tokens)
     vk = list(zip(viewed, keep))
+    chains = None
+    if dep_path_feature:
+        from .deppath import dep_path, scope_ancestors
+
+        chains = scope_ancestors(tokens)
     out: list[dict[str, float]] = []
     for qi, ai in pairs:
         feats: list[str] = []
@@ -219,6 +235,8 @@ def featurize_sentence_pairs(
             )
         if direction_feature:
             feats.append("dir:fwd" if qi < ai else "dir:rev")
+        if dep_path_feature:
+            feats.append(dep_path(tokens, qi, ai, chains))
         out.append(dict(Counter(feats)))
     return out
 

@@ -54,6 +54,9 @@ class CandidateConfig:
     # breaks the reference's q/a feature symmetry so directed triples
     # are learnable. Off = exact reference feature space.
     direction_feature: bool = True
+    # engine extension (functions/deppath.py): scope-tree dependency-
+    # path feature between the endpoints. Off = reference feature space.
+    dep_paths: bool = False
 
 
 def _endpoint_keep(conf: CandidateConfig, tokens, tags, entities) -> list[bool]:
@@ -138,6 +141,7 @@ def generate_candidates(
                         inside_skip=cf.inside_skip,
                         tags=tags,
                         direction_feature=cf.direction_feature,
+                        dep_path_feature=cf.dep_paths,
                     )
                     cols["doc_id"].append(rd["doc_id"])
                     cols["sent_idx"].append(rd["sent_idx"])
@@ -229,6 +233,7 @@ def candidates_from_docs(
                             inside_skip=cf.inside_skip,
                             tags=tags,
                             direction_feature=cf.direction_feature,
+                            dep_path_feature=cf.dep_paths,
                         )
                     else:
                         bags = [{}] * len(pairs)

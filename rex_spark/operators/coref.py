@@ -101,61 +101,114 @@ def generate_coref_candidates(
                     by_idx.get(i, {"sent_idx": i, "tokens": [], "tags": [], "entities": []})
                     for i in range(max_idx + 1)
                 ]
-                if cf.chunk:
-                    # chunk each sentence BEFORE chain derivation — the
-                    # doc-level analog of DocumentChunker.scala:13-52:
-                    # deriving chains on chunked sentences is equivalent
-                    # to deriving-then-remapping via old_to_new_indices
-                    for s in ordered:
-                        t2, g2, e2, _ = chunk_sentence(
-                            list(s["tokens"]),
-                            list(s["tags"]) if s["tags"] is not None else None,
-                            list(s["entities"]) if s["entities"] is not None else None,
-                            cf.non_entity,
-                        )
-                        s["tokens"], s["tags"], s["entities"] = t2, g2, e2
-                chains = derive_coref_chains(ordered)
-                if not chains:
-                    continue
-                tokens_per = [list(s["tokens"]) for s in ordered]
-                mention_keep = [no_known_punct(t) for t in tokens_per]
-                cand_keep = [
-                    _endpoint_keep(
-                        cf,
-                        list(s["tokens"]),
-                        list(s["tags"]) if s["tags"] is not None else ["ID"] * len(s["tokens"]),
-                        list(s["entities"])
-                        if s["entities"] is not None
-                        else [cf.non_entity] * len(s["tokens"]),
-                    )
-                    for s in ordered
-                ]
-                for c in coref_candidates(tokens_per, chains, mention_keep, cand_keep):
-                    shared = tokens_per[c["shared_sent"]]
-                    mention = tokens_per[c["mention_sent"]]
-                    bag = featurize_coref_candidate(
-                        shared,
-                        c["coref_idx"],
-                        c["other_idx"],
-                        mention,
-                        c["mention_idx"],
-                        adjacent_width=cf.adjacent_width,
-                        inside_ngram=cf.inside_ngram,
-                        inside_skip=cf.inside_skip,
-                    )
-                    idx, val = hash_feature_bag(bag, cf.hash_space or 262_147)
-                    cols["doc_id"].append(row.doc_id)
-                    cols["kind"].append(c["kind"])
-                    cols["mention_sent"].append(c["mention_sent"])
-                    cols["mention_idx"].append(c["mention_idx"])
-                    cols["shared_sent"].append(c["shared_sent"])
-                    cols["coref_idx"].append(c["coref_idx"])
-                    cols["other_idx"].append(c["other_idx"])
-                    cols["query_w"].append(c["query_w"])
-                    cols["answer_w"].append(c["answer_w"])
-                    cols["f_idx"].append(idx)
-                    cols["f_val"].append(val)
+                _emit_doc_candidates(cf, row.doc_id, ordered, cols)
             if cols["doc_id"]:  # empty batches break Arrow list casts
                 yield pd.DataFrame(cols)
 
     return nested_docs.mapInPandas(fn, COREF_CAND_SCHEMA)
+
+
+def _emit_doc_candidates(
+    cf: CandidateConfig, doc_id, ordered: list[dict], cols: dict[str, list]
+) -> None:
+    """Chains + role enumeration + featurization for ONE document's
+    ordered sentence list (positional index == sent_idx); appends
+    candidate rows to ``cols``. Shared by the nested-frame operator and
+    the fused whole-doc operator."""
+    if cf.chunk:
+        # chunk each sentence BEFORE chain derivation — the doc-level
+        # analog of DocumentChunker.scala:13-52: deriving chains on
+        # chunked sentences is equivalent to deriving-then-remapping
+        # via old_to_new_indices
+        for s in ordered:
+            t2, g2, e2, _ = chunk_sentence(
+                list(s["tokens"]),
+                list(s["tags"]) if s["tags"] is not None else None,
+                list(s["entities"]) if s["entities"] is not None else None,
+                cf.non_entity,
+            )
+            s["tokens"], s["tags"], s["entities"] = t2, g2, e2
+    chains = derive_coref_chains(ordered)
+    if not chains:
+        return
+    tokens_per = [list(s["tokens"]) for s in ordered]
+    mention_keep = [no_known_punct(t) for t in tokens_per]
+    cand_keep = [
+        _endpoint_keep(
+            cf,
+            list(s["tokens"]),
+            list(s["tags"]) if s["tags"] is not None else ["ID"] * len(s["tokens"]),
+            list(s["entities"])
+            if s["entities"] is not None
+            else [cf.non_entity] * len(s["tokens"]),
+        )
+        for s in ordered
+    ]
+    for c in coref_candidates(tokens_per, chains, mention_keep, cand_keep):
+        shared = tokens_per[c["shared_sent"]]
+        mention = tokens_per[c["mention_sent"]]
+        bag = featurize_coref_candidate(
+            shared,
+            c["coref_idx"],
+            c["other_idx"],
+            mention,
+            c["mention_idx"],
+            adjacent_width=cf.adjacent_width,
+            inside_ngram=cf.inside_ngram,
+            inside_skip=cf.inside_skip,
+        )
+        idx, val = hash_feature_bag(bag, cf.hash_space or 262_147)
+        cols["doc_id"].append(doc_id)
+        cols["kind"].append(c["kind"])
+        cols["mention_sent"].append(c["mention_sent"])
+        cols["mention_idx"].append(c["mention_idx"])
+        cols["shared_sent"].append(c["shared_sent"])
+        cols["coref_idx"].append(c["coref_idx"])
+        cols["other_idx"].append(c["other_idx"])
+        cols["query_w"].append(c["query_w"])
+        cols["answer_w"].append(c["answer_w"])
+        cols["f_idx"].append(idx)
+        cols["f_val"].append(val)
+
+
+def coref_candidates_from_docs(
+    docs: DataFrame,
+    splitter,
+    conf: CandidateConfig | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fused whole-document coref candgen: split -> chains -> featurize
+    in ONE narrow mapInPandas stage, ZERO shuffle.
+
+    When the source is whole documents, the nested-frame path
+    (``nest_documents`` -> ``generate_coref_candidates``) pays a
+    doc-keyed shuffle only to reassemble sentences that the splitter
+    just produced from one string — at 100 TB that shuffle moves every
+    token array across the cluster for nothing. Here ``splitter(text)
+    -> [(tokens, tags, entities), ...]`` runs inside the stage (chunking
+    -> same kernels), emitting identical rows to the nested path.
+
+    ``splitter`` may be any callable (incl. a local closure over small
+    state): it rides in the mapInPandas function closure, which Spark
+    ships with cloudpickle — NOT via ``sparkContext.broadcast``, whose
+    plain pickle cannot serialize closures. The config is broadcast.
+    """
+    conf = conf or CandidateConfig()
+    spark = docs.sparkSession
+    bconf = spark.sparkContext.broadcast(conf)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cf, split = bconf.value, splitter
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in COREF_CAND_SCHEMA.fields}
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                ordered = [
+                    {"sent_idx": i, "tokens": list(t), "tags": g, "entities": e}
+                    for i, (t, g, e) in enumerate(split(str(text)))
+                ]
+                _emit_doc_candidates(cf, str(doc_id), ordered, cols)
+            if cols["doc_id"]:  # empty batches break Arrow list casts
+                yield pd.DataFrame(cols)
+
+    return docs.select(id_col, text_col).mapInPandas(fn, COREF_CAND_SCHEMA)

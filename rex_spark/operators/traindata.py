@@ -78,6 +78,7 @@ def _featurize_gold(sents: DataFrame, gold: DataFrame, conf: CandidateConfig) ->
                     inside_skip=cf.inside_skip,
                     tags=tags,
                     direction_feature=cf.direction_feature,
+                    dep_path_feature=cf.dep_paths,
                 )[0]
                 idx, val = hash_feature_bag(bag, cf.hash_space or 262_147)
                 cols["doc_id"].append(row.doc_id)

@@ -42,9 +42,14 @@ def materialize_kg(
     out_dir: str,
     conf: PipelineConfig | None = None,
     link_entities: bool = True,
+    verify_content: bool = True,
 ) -> DataFrame:
     """Run (or resume) the staged extraction; returns the final triples
-    DataFrame read back from its checkpoint table."""
+    DataFrame read back from its checkpoint table.
+
+    ``verify_content``: after the triples stage, re-hash the source docs
+    and assert every materialized row's carried ``content_sha256`` still
+    matches (per-row content-equality invariant; raises on mismatch)."""
     conf = conf or PipelineConfig()
     echo = _config_echo(conf)
 
@@ -85,6 +90,9 @@ def materialize_kg(
         spark, trip_path, "triples", build_triples, partition_by=["pred"], config_echo=echo
     )
 
+    if verify_content and "content_sha256" in triples.columns and "content" in docs.columns:
+        assert_content_equality(triples, docs)
+
     if not link_entities:
         return triples
 
@@ -104,6 +112,62 @@ def materialize_kg(
     )
 
 
+def content_equality_check(
+    rows: DataFrame,
+    source: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    sha_col: str = "content_sha256",
+) -> DataFrame:
+    """Per-row sha256 content-equality vs the source table (the
+    north-star materialization invariant): every output row carries the
+    digest of the document it was extracted from (PipelineConfig
+    carry_cols); this re-hashes the CURRENT source content and flags
+    rows whose carried digest no longer matches — source drift between
+    stages, a corrupted resume, or doc_ids joined to the wrong document
+    all surface as ``content_ok = false``.
+
+    Plain shuffle join on the id (the source side is corpus-sized —
+    never broadcast); the sha256 re-hash is a JVM Column expression
+    pushed into the source scan, so the check adds one hash pass + one
+    co-partitioned join, nothing Python-side.
+    """
+    src = source.select(
+        F.col(id_col),
+        F.sha2(F.col(content_col), 256).alias("_src_sha256"),
+    )
+    joined = rows.join(src, id_col, "left")
+    return joined.withColumn(
+        "content_ok",
+        F.col("_src_sha256").isNotNull() & (F.col(sha_col) == F.col("_src_sha256")),
+    ).withColumnRenamed("_src_sha256", "src_sha256")
+
+
+def assert_content_equality(
+    rows: DataFrame,
+    source: DataFrame,
+    id_col: str = "doc_id",
+    content_col: str = "content",
+    sha_col: str = "content_sha256",
+) -> int:
+    """Run the check and raise if ANY row fails; returns rows checked."""
+    checked = content_equality_check(rows, source, id_col, content_col, sha_col)
+    agg = checked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(~F.col("content_ok"), 1).otherwise(0)).alias("bad"),
+    ).collect()[0]
+    if agg["bad"]:
+        sample = (
+            checked.where(~F.col("content_ok")).select(id_col).limit(5).collect()
+        )
+        raise ValueError(
+            f"content-equality check failed: {agg['bad']}/{agg['n']} rows have "
+            f"a carried {sha_col} that does not match the current source "
+            f"content (e.g. {id_col}s {[r[0] for r in sample]})"
+        )
+    return agg["n"]
+
+
 def kg_summary_metrics(triples: DataFrame) -> DataFrame:
     """Per-relation KG metrics (row for the lineage/metrics table)."""
     return triples.groupBy("pred").agg(
@@ -114,4 +178,10 @@ def kg_summary_metrics(triples: DataFrame) -> DataFrame:
     )
 
 
-__all__ = ["materialize_kg", "kg_summary_metrics", "write_stage"]
+__all__ = [
+    "materialize_kg",
+    "kg_summary_metrics",
+    "content_equality_check",
+    "assert_content_equality",
+    "write_stage",
+]

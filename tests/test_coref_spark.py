@@ -42,3 +42,52 @@ def test_generate_coref_candidates(spark):
     # features are hashed sparse and non-empty
     row = cands.collect()[0]
     assert len(row["f_idx"]) == len(row["f_val"]) > 0
+
+
+def test_fused_from_docs_matches_nested(spark):
+    # the fused whole-doc operator (zero shuffle) must emit EXACTLY the
+    # rows of split -> nest -> generate (one doc-keyed shuffle)
+    from rex_spark.operators.coref import coref_candidates_from_docs
+
+    ent = {"svc", "db", "mod"}
+
+    def split(text: str):
+        toks = text.split(" ")
+        return [
+            (toks[i : i + 4], None, ["ENT" if t in ent else "O" for t in toks[i : i + 4]])
+            for i in range(0, len(toks), 4)
+        ]
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "svc calls db now svc reads mod later db closes svc end x"),
+            ("b", "one two three four five six seven eight"),
+            ("c", "db db waits here db returns soon done"),
+        ],
+        "doc_id string, text string",
+    )
+    conf = CandidateConfig(candidate_filter="entities")
+    fused = coref_candidates_from_docs(docs, split, conf)
+
+    sent_rows = [
+        (d, i, t, g, e)
+        for d, text in docs.collect()
+        for i, (t, g, e) in enumerate(split(text))
+    ]
+    sentences = spark.createDataFrame(
+        sent_rows,
+        "doc_id string, sent_idx int, tokens array<string>, tags array<string>, "
+        "entities array<string>",
+    )
+    nested = generate_coref_candidates(nest_documents(sentences), conf)
+
+    key = lambda r: (  # noqa: E731
+        r["doc_id"], r["kind"], r["mention_sent"], r["mention_idx"],
+        r["shared_sent"], r["coref_idx"], r["other_idx"], r["query_w"],
+        r["answer_w"], tuple(r["f_idx"]), tuple(r["f_val"]),
+    )
+    a = sorted(map(key, fused.collect()))
+    b = sorted(map(key, nested.collect()))
+    assert a == b and len(a) > 0
+    # fused plan has no Exchange
+    assert "Exchange" not in fused._jdf.queryExecution().executedPlan().toString()

@@ -1,0 +1,128 @@
+"""Scope-tree dependency-path features (functions/deppath.py).
+
+The reference enables CoreNLP dependency parsing
+(CoreNlpTextProcessor.scala:68) but never consumes it in features;
+the engine's code-analog is a deterministic bracket scope tree. These
+goldens pin the stack-walk semantics the DuckDB ``dep_paths`` oracle
+twin replicates.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given
+from hypothesis import strategies as st
+
+from rex_spark.functions.deppath import (
+    dep_path,
+    dep_path_len,
+    scope_ancestors,
+    scope_label,
+)
+
+#   0   1  2   3  4  5   6  7  8   9
+TOKS = ["f", "(", "g", "(", "x", ")", ",", "y", ")", "z"]
+
+
+def test_scope_ancestors_golden():
+    chains = scope_ancestors(TOKS)
+    assert chains[0] == []          # f: depth 0
+    assert chains[1] == []          # the opener itself is a child of ROOT
+    assert chains[2] == [1]         # g: inside f(
+    assert chains[4] == [1, 3]      # x: inside f( g(
+    assert chains[5] == [1]         # ): pops BEFORE recording its chain
+    assert chains[7] == [1]         # y: back to f( scope
+    assert chains[9] == []          # z: after both closes
+
+
+def test_scope_label_prefers_head_word():
+    assert scope_label(TOKS, 1) == "f"       # f(  -> head word f
+    assert scope_label(TOKS, 3) == "g"       # g(  -> head word g
+    assert scope_label(["(", "a", ")"], 0) == "("  # no head word -> opener
+
+
+def test_dep_path_goldens():
+    # same scope, depth 0
+    assert dep_path(TOKS, 0, 9) == "dep:^ROOT"
+    # x (depth 2) up to y (depth 1): up through g, LCA = f
+    assert dep_path(TOKS, 4, 7) == "dep:g<^f"
+    # y down into nothing vs z at root: up through f, LCA = ROOT
+    assert dep_path(TOKS, 7, 9) == "dep:f<^ROOT"
+    # root-side q, nested a: pure down path
+    assert dep_path(TOKS, 0, 4) == "dep:^ROOT>f>g"
+    assert dep_path_len(TOKS, 4, 7) == 1  # one edge: g-scope up to f-scope
+    assert dep_path_len(TOKS, 0, 9) == 0
+
+
+def test_stray_closer_ignored():
+    toks = [")", "a", "(", "b"]
+    chains = scope_ancestors(toks)
+    assert chains[0] == [] and chains[1] == [] and chains[3] == [2]
+    assert dep_path(toks, 1, 3) == "dep:^ROOT>a"  # label of ( at 2 is 'a'
+
+
+def test_unclosed_opener_kept_open():
+    toks = ["f", "(", "x", "y"]
+    assert scope_ancestors(toks)[3] == [1]
+    assert dep_path(toks, 2, 3) == "dep:^f"
+
+
+@given(
+    st.lists(
+        st.sampled_from(["(", ")", "[", "]", "{", "}", "a", "b", "f"]),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_path_properties(toks):
+    chains = scope_ancestors(toks)
+    n = len(toks)
+    # symmetry of length; path is reversible up/down
+    assert dep_path_len(toks, 0, n - 1, chains) == dep_path_len(toks, n - 1, 0, chains)
+    # bounded by the two depths
+    for i in (0, n - 1):
+        assert len(chains[i]) <= n
+    assert dep_path_len(toks, 0, n - 1, chains) <= len(chains[0]) + len(chains[n - 1])
+    # same token -> empty path through its own scope
+    assert dep_path_len(toks, 0, 0, chains) == 0
+
+
+def test_featurizer_integration():
+    from rex_spark.functions.featurize import featurize_sentence_candidate
+
+    bag_off = featurize_sentence_candidate(TOKS, 0, 4)
+    bag_on = featurize_sentence_candidate(TOKS, 0, 4, dep_path_feature=True)
+    assert "dep:^ROOT>f>g" in bag_on
+    assert not any(k.startswith("dep:") for k in bag_off)
+    # only the one extra feature differs
+    assert {k: v for k, v in bag_on.items() if not k.startswith("dep:")} == bag_off
+
+
+def test_candidates_stage_with_dep_paths(spark):
+    from rex_spark.operators.candidates import CandidateConfig, generate_candidates
+
+    sents = spark.createDataFrame(
+        [("d0", 0, TOKS, None, ["ENT", "O", "O", "O", "ENT", "O", "O", "ENT", "O", "O"])],
+        "doc_id string, sent_idx int, tokens array<string>, tags array<string>, "
+        "entities array<string>",
+    )
+    conf = CandidateConfig(hash_space=None, direction_feature=False, dep_paths=True)
+    rows = {(r.q_idx, r.a_idx): r.features for r in generate_candidates(sents, conf).collect()}
+    assert rows[(0, 4)]["dep:^ROOT>f>g"] == 1.0
+    assert rows[(4, 7)]["dep:g<^f"] == 1.0
+    off = CandidateConfig(hash_space=None, direction_feature=False, dep_paths=False)
+    rows_off = {
+        (r.q_idx, r.a_idx): r.features for r in generate_candidates(sents, off).collect()
+    }
+    assert not any(k.startswith("dep:") for k in rows_off[(0, 4)])
+
+
+def test_fused_pairs_match_single():
+    from rex_spark.functions.featurize import (
+        featurize_sentence_candidate,
+        featurize_sentence_pairs,
+    )
+
+    pairs = [(0, 4), (4, 7), (2, 9)]
+    fused = featurize_sentence_pairs(TOKS, pairs, dep_path_feature=True)
+    for (q, a), bag in zip(pairs, fused):
+        assert bag == featurize_sentence_candidate(TOKS, q, a, dep_path_feature=True)
