@@ -75,3 +75,25 @@ def test_sha256_invariant_survives(spark, corpus):
         .count()
     )
     assert bad == 0
+
+
+def test_learned_path_with_dep_path_features(spark, corpus):
+    # dep-path features (functions/deppath.py) through the FULL learned
+    # path: train on distant labels with the extra feature family on,
+    # score, and still clear the P/R gate on the deterministic corpus.
+    from rex_spark.operators.candidates import CandidateConfig
+    from rex_spark.plans.pipeline import extract_triples_learned
+    from rex_spark.sources.corpus import golden_triples
+
+    kb = kb_df(spark, CONF)
+    lex = make_lexicon(CONF)
+    conf = PipelineConfig(candidates=CandidateConfig(dep_paths=True))
+    triples, _, model = extract_triples_learned(
+        corpus, kb, lex, conf, sample_cap=60_000
+    )
+    emitted = {
+        (r["subj"], r["pred"], r["obj"]) for r in distinct_triples(triples).collect()
+    }
+    golden = golden_triples(CONF)
+    p, r, _ = precision_recall(emitted, golden)
+    assert p >= 0.95 and r >= 0.95, f"P={p} R={r}"
