@@ -897,6 +897,34 @@ def q_dep_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skip_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F2 k-skip-n-grams through the REAL recursive kernel (rex
+    # InsideFeatures.scala:9-36) at the app-default n=2, k=4 over each
+    # doc's first 12 tokens. At n=2 the gram set has a closed form —
+    # every unigram plus every ordered pair with gap <= k — which is the
+    # DuckDB twin (position self-join); the Spark side runs the actual
+    # recursion, so parity checks the kernel, not the closed form.
+    import pandas as pd
+
+    from rex_spark.functions.ngrams import k_skip_ngrams
+
+    def fn(batches):
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "gram": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = str(text).split(" ")[:12]
+                for g in k_skip_ngrams(toks, 2, 4):
+                    out["doc_id"].append(doc_id)
+                    out["gram"].append(g)
+            if out["doc_id"]:
+                yield pd.DataFrame(out)
+
+    grams = _docs_par(spark, sf_dir).select("doc_id", "text").mapInPandas(
+        fn, "doc_id bigint, gram string"
+    )
+    return grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_constraint_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The PFOL-replacement constraint-filtering pass END TO END
     # (operators/constraints.py; north-star: "equivalent constraint-
@@ -982,6 +1010,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_equality": q_content_equality,
         "dep_paths": q_dep_paths,
         "constraint_filter": q_constraint_filter,
+        "skip_grams": q_skip_grams,
     }
 
 
@@ -1645,6 +1674,24 @@ def oracle_sql() -> dict[str, str]:
         "content_equality": """
             SELECT doc_id, sha256(text || '~') AS src_sha256
             FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+        """,
+        "skip_grams": """
+            WITH t AS (
+              SELECT doc_id, string_split(text, ' ')[1:12] AS toks FROM documents
+            ),
+            u AS (
+              SELECT doc_id, unnest(toks) AS tok,
+                     unnest(range(len(toks))) AS pos
+              FROM t
+            ),
+            g AS (
+              SELECT doc_id, tok AS gram FROM u
+              UNION ALL
+              SELECT a.doc_id, a.tok || ',' || b.tok
+              FROM u a JOIN u b
+                ON a.doc_id = b.doc_id AND b.pos > a.pos AND b.pos <= a.pos + 5
+            )
+            SELECT doc_id, gram, count(*) AS n FROM g GROUP BY 1, 2
         """,
         "constraint_filter": f"""
             WITH base AS (
