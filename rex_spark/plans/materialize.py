@@ -130,7 +130,10 @@ def content_equality_check(
     Plain shuffle join on the id (the source side is corpus-sized —
     never broadcast); the sha256 re-hash is a JVM Column expression
     pushed into the source scan, so the check adds one hash pass + one
-    co-partitioned join, nothing Python-side.
+    co-partitioned join, nothing Python-side. When both stage tables
+    are bucketed by the id (sources/bucketing.py — the engine's
+    recommended layout for doc-keyed stages) the join is Exchange-free
+    on BOTH sides (asserted in tests/test_bucketing.py).
     """
     src = source.select(
         F.col(id_col),

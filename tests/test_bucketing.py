@@ -68,3 +68,39 @@ def test_bucketed_join_matches_shuffle_join(spark, bucketed_tables):
         .collect()
     }
     assert bucketed == plain
+
+
+def test_content_equality_check_bucketed_no_exchange(spark, tmp_path_factory):
+    # the north-star per-row sha256 check joins output rows back to the
+    # corpus on doc_id — at 100 TB both sides are huge, so the stage
+    # tables are bucketed by doc_id (write once, co-located forever) and
+    # the check must run with NO Exchange on either side
+    from rex_spark.plans.materialize import content_equality_check
+
+    base = tmp_path_factory.mktemp("ce_buckets")
+    docs = spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("content"),
+    )
+    carried = docs.select("doc_id", F.sha2(F.col("content"), 256).alias("content_sha256"))
+    write_bucketed(docs, "ce_src", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"], path=str(base / "src"))
+    write_bucketed(carried, "ce_rows", ["doc_id"], n_buckets=8,
+                   sort_cols=["doc_id"], path=str(base / "rows"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # at 100 TB neither side is broadcastable; force that regime so
+        # the assertion checks the co-located sort-merge path
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        checked = content_equality_check(
+            read_table(spark, "ce_rows"), read_table(spark, "ce_src")
+        )
+        assert checked.where(~F.col("content_ok")).count() == 0
+        assert bucketed_join_is_shuffle_free(checked), (
+            "content-equality join shuffled despite co-bucketed tables:\n"
+            + checked._jdf.queryExecution().executedPlan().toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS ce_src")
+        spark.sql("DROP TABLE IF EXISTS ce_rows")
