@@ -897,6 +897,40 @@ def q_dep_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KG analytics over the materialized graph (operators/graph.py): 10
+    # deterministic damped-PageRank iterations on the distinct distant-
+    # triple edge set. The oracle unrolls the identical iteration 10x in
+    # SQL (pr0..pr10 CTE chain); ranks rounded to 6 dp — double-
+    # summation order differs across engines at ~1e-15, far below the
+    # rounding grain.
+    from rex_spark.operators.graph import pagerank
+
+    labeled = _labeled_pairs(spark, sf_dir)
+    edges = (
+        labeled.where(F.col("label") != NO_RELATION)
+        .select(F.col("query_w").alias("src"), F.col("answer_w").alias("dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=10)
+    return pr.select("node", F.round("rank", 6).alias("rank"))
+
+
+def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bounded k-hop reachability counts over the same edge set — exact
+    # integer output (hash-stable), frontier-join expansion with the
+    # iterative-loop materialization discipline.
+    from rex_spark.operators.graph import khop_counts
+
+    labeled = _labeled_pairs(spark, sf_dir)
+    edges = (
+        labeled.where(F.col("label") != NO_RELATION)
+        .select(F.col("query_w").alias("src"), F.col("answer_w").alias("dst"))
+        .distinct()
+    )
+    return khop_counts(edges, k=3)
+
+
 def q_skip_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F2 k-skip-n-grams through the REAL recursive kernel (rex
     # InsideFeatures.scala:9-36) at the app-default n=2, k=4 over each
@@ -1011,6 +1045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dep_paths": q_dep_paths,
         "constraint_filter": q_constraint_filter,
         "skip_grams": q_skip_grams,
+        "kg_pagerank": q_kg_pagerank,
+        "kg_khop": q_kg_khop,
     }
 
 
@@ -1040,6 +1076,47 @@ def oracle_sql() -> dict[str, str]:
         return "'" + s.replace("'", "''") + "'"
 
     ent_list = ",".join(_q(w) for w in ENTITY_WORDS)
+
+    # kg_pagerank oracle: unroll the EXACT pagerank() iteration 10x as a
+    # pr0..pr10 CTE chain (recursive CTEs cannot aggregate over the
+    # recursive relation, so unrolling is the faithful SQL form).
+    # Literals cast to DOUBLE: DuckDB decimal literals would otherwise
+    # round differently from Spark's float64 arithmetic.
+    _pr_iters = 10
+    _pr_chain = []
+    for t in range(_pr_iters):
+        _pr_chain.append(f"""
+            c{t} AS MATERIALIZED (
+              SELECT b.dst AS node, sum(p.rank / d.deg) AS c
+              FROM base b
+              JOIN pr{t} p ON p.node = b.src
+              JOIN deg d ON d.src = b.src
+              GROUP BY 1
+            ),
+            g{t} AS MATERIALIZED (
+              SELECT coalesce(sum(rank), 0.0::DOUBLE) AS m FROM pr{t}
+              WHERE node NOT IN (SELECT src FROM deg)
+            ),
+            pr{t + 1} AS MATERIALIZED (
+              SELECT n.node,
+                     0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * (coalesce(c.c, 0.0::DOUBLE)
+                                       + (SELECT m FROM g{t}) / (SELECT n FROM nn))
+                     AS rank
+              FROM nodes n LEFT JOIN c{t} c ON c.node = n.node
+            )""")
+    pagerank_sql = f"""
+            WITH base AS MATERIALIZED (
+              SELECT DISTINCT query_w AS src, answer_w AS dst
+              FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+            ),
+            nodes AS MATERIALIZED (SELECT src AS node FROM base UNION SELECT dst FROM base),
+            deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM base GROUP BY 1),
+            nn AS MATERIALIZED (SELECT count(*) AS n FROM nodes),
+            pr0 AS MATERIALIZED (SELECT node, 1.0::DOUBLE / (SELECT n FROM nn) AS rank FROM nodes),
+            {",".join(_pr_chain)}
+            SELECT node, round(rank, 6) AS rank FROM pr{_pr_iters}
+    """
 
     gold_values = ",".join(f"({_q(s)},{_q(p)},{_q(o)})" for s, p, o in _gold)
 
@@ -1674,6 +1751,21 @@ def oracle_sql() -> dict[str, str]:
         "content_equality": """
             SELECT doc_id, sha256(text || '~') AS src_sha256
             FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+        """,
+        "kg_pagerank": pagerank_sql,
+        "kg_khop": f"""
+            WITH base AS (
+              SELECT DISTINCT query_w AS src, answer_w AS dst
+              FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+            ),
+            p1 AS (SELECT src AS node, dst AS r FROM base),
+            p2 AS (SELECT p1.node, b.dst AS r FROM p1 JOIN base b ON b.src = p1.r),
+            p3 AS (SELECT p2.node, b.dst AS r FROM p2 JOIN base b ON b.src = p2.r),
+            reach AS (
+              SELECT * FROM p1 UNION SELECT * FROM p2 UNION SELECT * FROM p3
+            )
+            SELECT node, count(*) AS n_reach
+            FROM reach WHERE node <> r GROUP BY 1
         """,
         "skip_grams": """
             WITH t AS (

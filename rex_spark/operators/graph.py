@@ -1,0 +1,114 @@
+"""KG analytics over the materialized triple graph.
+
+No reference counterpart (rex stops at triple emission); the engine adds
+the two graph queries a KG consumer runs first: PageRank (entity
+importance over the (subj -> obj) edge set) and bounded k-hop
+reachability counts. Both are deterministic — fixed iteration counts,
+no RNG — so the DuckDB oracle can replay them exactly.
+
+Scale notes (the same discipline as linking.py's connected components):
+
+  - every iteration is ONE join (ranks ⋈ edges on src, shuffle keyed by
+    the join key) + ONE algebraic sum aggregation (map-side partial agg
+    — no salting needed, `sum` combines; cf. skew.py on why only
+    holistic aggs need the two-phase rewrite);
+  - the edge+outdegree table is materialized once before the loop and
+    re-read every iteration (without it, iteration t re-executes the
+    whole upstream extraction lineage t times);
+  - per-iteration ranks are materialized through checkpoint.materialize
+    — executor-local by default, durable (`checkpoint_dir` /
+    ``spark.rex.checkpointDir``) on preemptible clusters;
+  - dangling mass is one scalar aggregate per iteration (a tiny driver
+    action on an already-materialized frame, the standard formulation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..checkpoint import materialize
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 10,
+    damping: float = 0.85,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Standard damped PageRank over the DISTINCT directed edge set.
+
+    pr_0(v) = 1/N;  pr_{t+1}(v) = (1-d)/N + d * (sum_{u->v} pr_t(u)/deg(u)
+                                                 + dangling_mass_t / N)
+
+    Returns (node, rank). Deterministic given (edges, iters, damping).
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # links re-read every iteration: materialize once, lineage-free
+    links = materialize(e.join(outdeg, "src"), checkpoint_dir)
+    nodes = materialize(nodes, checkpoint_dir)
+    n = nodes.count()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    has_out = outdeg.select(F.col("src").alias("node"))
+    for _ in range(iters):
+        contribs = (
+            links.join(ranks, links["src"] == ranks["node"])
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("c"))
+        )
+        dangling = (
+            ranks.join(has_out, "node", "left_anti").agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        ranks = materialize(
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left").select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("c"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            ),
+            checkpoint_dir,
+        )
+    return ranks
+
+
+def khop_counts(
+    edges: DataFrame,
+    k: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Number of DISTINCT nodes reachable from each node in <= k hops
+    (excluding the node itself). Exact integer output — hash-stable
+    across engines. k bounded small (frontier joins double per hop on
+    dense graphs; for unbounded reachability use connected components)."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
+    e = materialize(e)
+    reach = e.select(F.col("src").alias("node"), F.col("dst").alias("r"))
+    frontier = reach
+    for _ in range(k - 1):
+        frontier = (
+            frontier.join(e, frontier["r"] == e["src"])
+            .select("node", F.col("dst").alias("r"))
+            .distinct()
+        )
+        reach = materialize(reach.union(frontier).distinct())
+    return (
+        reach.where(F.col("node") != F.col("r"))
+        .groupBy("node")
+        .agg(F.countDistinct("r").alias("n_reach"))
+    )
+
+
+__all__ = ["pagerank", "khop_counts"]

@@ -1,0 +1,74 @@
+"""KG graph analytics (operators/graph.py): PageRank + k-hop counts."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rex_spark.operators.graph import khop_counts, pagerank
+
+
+def _pr_reference(edges: list[tuple[str, str]], iters: int, d: float = 0.85):
+    """Driver-side replica of the exact same iteration (float arithmetic)."""
+    edges = sorted(set(edges))
+    nodes = sorted({u for e in edges for u in e})
+    n = len(nodes)
+    deg = {}
+    for s, _ in edges:
+        deg[s] = deg.get(s, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iters):
+        contrib = {v: 0.0 for v in nodes}
+        for s, t in edges:
+            contrib[t] += pr[s] / deg[s]
+        dang = sum(pr[v] for v in nodes if v not in deg)
+        pr = {
+            v: (1 - d) / n + d * (contrib[v] + dang / n) for v in nodes
+        }
+    return pr
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has in-degree 0
+    ("c", "e"),  # e is dangling (no out-edges)
+]
+
+
+def test_pagerank_matches_reference(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=10).collect()}
+    want = _pr_reference(EDGES, 10)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    # rank mass is conserved (sums to 1 under the dangling redistribution)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_cycle_uniform(spark):
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=15).collect()}
+    for v in got.values():
+        assert v == pytest.approx(1.0 / 3, abs=1e-9)
+
+
+def test_khop_counts_chain(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    got = {r["node"]: r["n_reach"] for r in khop_counts(e, k=2).collect()}
+    assert got == {"a": 2, "b": 2, "c": 1}
+    got3 = {r["node"]: r["n_reach"] for r in khop_counts(e, k=3).collect()}
+    assert got3 == {"a": 3, "b": 2, "c": 1}
+
+
+def test_khop_cycle_saturates(spark):
+    e = spark.createDataFrame(
+        [("x", "y"), ("y", "z"), ("z", "x")], "src string, dst string"
+    )
+    got = {r["node"]: r["n_reach"] for r in khop_counts(e, k=5).collect()}
+    # every node reaches the other two; self excluded even via the cycle
+    assert got == {"x": 2, "y": 2, "z": 2}
