@@ -72,3 +72,23 @@ def test_khop_cycle_saturates(spark):
     got = {r["node"]: r["n_reach"] for r in khop_counts(e, k=5).collect()}
     # every node reaches the other two; self excluded even via the cycle
     assert got == {"x": 2, "y": 2, "z": 2}
+
+
+def test_pagerank_nontrivial_graph(spark):
+    # 10k-node deterministic graph (each node links to 3 pseudo-random
+    # targets; ~2% of nodes dangling): distributed ranks must match the
+    # driver replica and conserve mass — the operator at non-toy size.
+    n = 10_000
+    edges = [
+        (f"v{i}", f"v{(i * m + i // 7 + m * m) % n}")
+        for i in range(n)
+        if i % 53 != 0  # dangling nodes
+        for m in (3, 5, 11)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string").repartition(16)
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=8).collect()}
+    want = _pr_reference(edges, 8)
+    assert len(got) == len(want)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+    worst = max(abs(got[v] - want[v]) for v in want)
+    assert worst < 1e-10, f"max |spark - replica| = {worst}"
