@@ -43,13 +43,22 @@ def materialize_kg(
     conf: PipelineConfig | None = None,
     link_entities: bool = True,
     verify_content: bool = True,
+    apply_constraints: bool = False,
 ) -> DataFrame:
     """Run (or resume) the staged extraction; returns the final triples
     DataFrame read back from its checkpoint table.
 
     ``verify_content``: after the triples stage, re-hash the source docs
     and assert every materialized row's carried ``content_sha256`` still
-    matches (per-row content-equality invariant; raises on mismatch)."""
+    matches (per-row content-equality invariant; raises on mismatch).
+
+    ``apply_constraints``: insert the PFOL-replacement constraint-
+    filtering stage between triples and linking — KB-derived type
+    licensing (the lexicon doubles as the entity-type map) plus the
+    functional-arity constraint (operators/constraints.py). On clean
+    distant output this is a checked no-op (every distant triple is
+    KB-licensed by construction); it exists to drop noise when the
+    triples come from a learned scorer or merged upstream KBs."""
     conf = conf or PipelineConfig()
     echo = _config_echo(conf)
 
@@ -92,6 +101,39 @@ def materialize_kg(
 
     if verify_content and "content_sha256" in triples.columns and "content" in docs.columns:
         assert_content_equality(triples, docs)
+
+    if apply_constraints:
+        from ..operators.constraints import (
+            apply_functional_constraint,
+            apply_type_constraints,
+            derive_type_constraints,
+            functional_relations,
+        )
+
+        cons_path = os.path.join(out_dir, "constrained")
+
+        def build_constrained() -> DataFrame:
+            type_map = spark.createDataFrame(
+                list(lexicon.items()), "entity string, etype string"
+            )
+            cons = derive_type_constraints(kb, type_map)
+            kept = apply_type_constraints(triples, cons, type_map)
+            support = kept.groupBy("subj", "pred", "obj").agg(
+                F.count(F.lit(1)).alias("support")
+            )
+            kept = kept.join(support, ["subj", "pred", "obj"])
+            return apply_functional_constraint(
+                kept, functional_relations(kb)
+            ).drop("support")
+
+        triples = resume_or_run(
+            spark,
+            cons_path,
+            "constrained",
+            build_constrained,
+            partition_by=["pred"],
+            config_echo=echo,
+        )
 
     if not link_entities:
         return triples

@@ -62,3 +62,25 @@ def test_materialize_kg_runs_the_check(spark, tmp_path):
     drifted = docs.withColumn("content", F.concat(F.col("content"), F.lit("!")))
     with pytest.raises(ValueError, match="content-equality"):
         materialize_kg(spark, drifted, kb, lex, str(tmp_path / "kg1"), link_entities=False)
+
+
+def test_constraint_stage_in_materialize(spark, tmp_path):
+    # the PFOL-replacement constraint stage in the staged run: on clean
+    # distant output it is a verified NO-OP (every distant triple is
+    # KB-licensed by construction) and the stage checkpoint exists
+    import os
+
+    from rex_spark.sources.catalog import read_manifest
+
+    docs, kb, lex = _inputs(spark)
+    out = str(tmp_path / "kg_cons")
+    plain = materialize_kg(spark, docs, kb, lex, out + "_p", link_entities=False)
+    constrained = materialize_kg(
+        spark, docs, kb, lex, out, link_entities=False, apply_constraints=True
+    )
+    key = lambda df: {  # noqa: E731
+        (r["subj"], r["pred"], r["obj"], r["doc_id"]) for r in df.collect()
+    }
+    assert key(constrained) == key(plain)
+    m = read_manifest(os.path.join(out, "constrained"))
+    assert m["row_count"] == plain.count() and m["complete"]
