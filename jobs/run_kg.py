@@ -27,6 +27,12 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--mode", choices=["distant", "learned"], default="distant")
     ap.add_argument("--link-entities", action="store_true")
+    ap.add_argument("--apply-constraints", action="store_true",
+                    help="insert the KB-derived constraint-filtering stage")
+    ap.add_argument("--no-verify-content", action="store_true",
+                    help="skip the per-row sha256 content-equality check")
+    ap.add_argument("--dep-paths", action="store_true",
+                    help="add scope-tree dependency-path features")
     ap.add_argument("--max-gap", type=int, default=None)
     args = ap.parse_args(argv)
 
@@ -72,9 +78,14 @@ def main(argv: list[str] | None = None) -> None:
     conf = PipelineConfig()
     if args.max_gap is not None:
         conf.candidates.max_gap = args.max_gap
+    if args.dep_paths:
+        conf.candidates.dep_paths = True
 
     triples = materialize_kg(
-        spark, docs, kb, lexicon, args.out, conf, link_entities=args.link_entities
+        spark, docs, kb, lexicon, args.out, conf,
+        link_entities=args.link_entities,
+        verify_content=not args.no_verify_content,
+        apply_constraints=args.apply_constraints,
     )
     metrics = {
         r["pred"]: {
