@@ -897,6 +897,34 @@ def q_dep_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_positives_only(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # E3: positives-only construction (rex mkPositiveTrainData) through
+    # the real operator — gold pairs featurized directly, no negatives;
+    # the label histogram must equal the declarative KB-join match
+    # histogram (the gold set is the KB join itself).
+    from rex_spark.operators.candidates import CandidateConfig
+    from rex_spark.operators.traindata import positive_training_data
+
+    sents = _lex_sentences(spark, sf_dir)
+    pairs = _pairs(spark, sf_dir)
+    kb = _kb_df(spark)
+    gold = pairs.join(
+        F.broadcast(kb),
+        (pairs["query_w"] == kb["subj"]) & (pairs["answer_w"] == kb["obj"]),
+        "inner",
+    ).select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.lit(0).cast("int").alias("sent_idx"),
+        F.col("q_pos").cast("int").alias("q_idx"),
+        F.col("a_pos").cast("int").alias("a_idx"),
+        F.col("rel").alias("label"),
+    )
+    td = positive_training_data(
+        sents, gold, CandidateConfig(candidate_filter="entities", max_gap=MAX_GAP)
+    )
+    return td.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+
+
 def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KG analytics over the materialized graph (operators/graph.py): 10
     # deterministic damped-PageRank iterations on the distinct distant-
@@ -1047,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_grams": q_skip_grams,
         "kg_pagerank": q_kg_pagerank,
         "kg_khop": q_kg_khop,
+        "positives_only": q_positives_only,
     }
 
 
@@ -1751,6 +1780,11 @@ def oracle_sql() -> dict[str, str]:
         "content_equality": """
             SELECT doc_id, sha256(text || '~') AS src_sha256
             FROM documents WHERE doc_id % 7 = 0 ORDER BY doc_id
+        """,
+        "positives_only": f"""
+            SELECT label, count(*) AS n
+            FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+            GROUP BY label
         """,
         "kg_pagerank": pagerank_sql,
         "kg_khop": f"""
