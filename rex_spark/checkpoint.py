@@ -19,6 +19,14 @@ Selection, most-specific wins:
      ``--conf spark.rex.checkpointDir=s3://bucket/ck`` flips every
      iterative operator in the job to durable checkpoints);
   3. neither -> localCheckpoint.
+
+Cleanup: iterative loops write one reliable checkpoint per round; the
+session factory enables
+``spark.cleaner.referenceTracking.cleanCheckpoints`` so the files of
+GC'd intermediates are deleted by the ContextCleaner (otherwise a
+50-round job leaves 50 dataset copies). The FINAL checkpoint of a job
+survives until its DataFrame is collected/written — on long-lived
+drivers, also lifecycle the checkpoint dir (bucket TTL or post-job rm).
 """
 
 from __future__ import annotations

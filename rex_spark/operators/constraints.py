@@ -89,3 +89,30 @@ def apply_functional_constraint(
         .drop("_rn")
     )
     return triples.where(~F.col("pred").isin(functional_rels)).unionByName(func)
+
+
+def constrain_triples(
+    triples: DataFrame, kb: DataFrame, type_map: DataFrame
+) -> DataFrame:
+    """The full constraint-filtering pass over PER-OCCURRENCE triple rows
+    (doc_id/sent_idx lineage preserved): type licensing row-wise, then
+    the functional constraint decided at the EDGE level — one row per
+    (subj, pred, obj) with its occurrence count as support — and applied
+    back by semi-join.
+
+    Deciding functional winners on per-occurrence rows would be wrong
+    twice over: the row_number window would keep ONE occurrence of the
+    winning object (dropping its other doc occurrences — lost
+    provenance), and the tie among identical-key rows would break
+    nondeterministically (different checksums per run, violating the
+    resumable byte-identical guarantee).
+    """
+    cons = derive_type_constraints(kb, type_map)
+    kept = apply_type_constraints(triples, cons, type_map)
+    edges = kept.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("support")
+    )
+    winners = apply_functional_constraint(edges, functional_relations(kb)).select(
+        "subj", "pred", "obj"
+    )
+    return kept.join(winners, ["subj", "pred", "obj"], "left_semi")

@@ -93,8 +93,14 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
 def exact_dedup(
     docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
 ) -> DataFrame:
-    """-> (fp, n_copies, keeper): md5 grouping, min-id keeper."""
-    return docs.groupBy(F.md5(F.col(text_col)).alias("fp")).agg(
+    """-> (fp, n_copies, keeper): md5 grouping, min-id keeper.
+
+    NULL text gets a sentinel fingerprint: md5(NULL) is NULL, which
+    GROUP BY treats as one group but a downstream equi-join can never
+    match (NULL <> NULL) — null-content duplicates would silently all
+    be kept by the keeper join."""
+    fp = F.coalesce(F.md5(F.col(text_col)), F.lit("__null_content__"))
+    return docs.groupBy(fp.alias("fp")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper")
     )
 

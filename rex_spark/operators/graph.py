@@ -56,8 +56,13 @@ def pagerank(
     links = materialize(e.join(outdeg, "src"), checkpoint_dir)
     nodes = materialize(nodes, checkpoint_dir)
     n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    has_out = outdeg.select(F.col("src").alias("node"))
+    # derived from the MATERIALIZED links frame — deriving it from
+    # outdeg/e would re-execute the caller's full edge lineage inside
+    # every iteration's dangling-mass aggregate
+    has_out = links.select(F.col("src").alias("node")).distinct()
     for _ in range(iters):
         contribs = (
             links.join(ranks, links["src"] == ranks["node"])

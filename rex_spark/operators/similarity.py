@@ -297,6 +297,11 @@ def train_kmeans_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "train_kmeans_centroids: embeddings table is empty — "
+            "nothing to train the IVF quantizer on"
+        )
     X = np.vstack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     Xn = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     n_c = min(n_centroids, len(Xn))

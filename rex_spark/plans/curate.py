@@ -84,7 +84,11 @@ def curate_corpus(
         # sized on a mostly-unique corpus — an OOM at 100 TB). No forced
         # broadcast hint: AQE broadcasts when the subset is small enough
         # and shuffle-joins on the uniform md5 key otherwise.
-        with_fp = docs.withColumn("_fp", F.md5(F.col(text_col)))
+        # same sentinel as exact_dedup: NULL-content rows must join their
+        # dedup group (NULL keys never equi-join)
+        with_fp = docs.withColumn(
+            "_fp", F.coalesce(F.md5(F.col(text_col)), F.lit("__null_content__"))
+        )
         dup_groups = dedup.where(F.col("n_copies") > 1).select(
             F.col("fp").alias("_fp"), "keeper"
         )

@@ -103,12 +103,7 @@ def materialize_kg(
         assert_content_equality(triples, docs)
 
     if apply_constraints:
-        from ..operators.constraints import (
-            apply_functional_constraint,
-            apply_type_constraints,
-            derive_type_constraints,
-            functional_relations,
-        )
+        from ..operators.constraints import constrain_triples
 
         cons_path = os.path.join(out_dir, "constrained")
 
@@ -116,15 +111,7 @@ def materialize_kg(
             type_map = spark.createDataFrame(
                 list(lexicon.items()), "entity string, etype string"
             )
-            cons = derive_type_constraints(kb, type_map)
-            kept = apply_type_constraints(triples, cons, type_map)
-            support = kept.groupBy("subj", "pred", "obj").agg(
-                F.count(F.lit(1)).alias("support")
-            )
-            kept = kept.join(support, ["subj", "pred", "obj"])
-            return apply_functional_constraint(
-                kept, functional_relations(kb)
-            ).drop("support")
+            return constrain_triples(triples, kb, type_map)
 
         triples = resume_or_run(
             spark,

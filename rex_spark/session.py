@@ -28,6 +28,13 @@ _BASE_CONF = {
     # deterministic string collation / timestamp behavior
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("REX_DRIVER_MEMORY", "8g"),
+    # durable-checkpoint hygiene: iterative operators (connected
+    # components, pagerank, LSH tables) write one reliable checkpoint
+    # PER ROUND when spark.rex.checkpointDir is set; without the cleaner,
+    # Spark never deletes them and a 50-round CC job leaves 50 dataset
+    # copies in the checkpoint dir. With this on, checkpoint files of
+    # GC'd DataFrames are removed by the ContextCleaner.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

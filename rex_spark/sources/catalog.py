@@ -20,6 +20,7 @@ import json
 import os
 import time
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -52,17 +53,24 @@ def _read_stage(spark: SparkSession, path: str, stage: str) -> DataFrame:
     """Read a stage back from wherever write_stage put it: the Iceberg
     catalog table when one is configured, else the parquet path.
 
-    If the catalog table is missing (e.g. a manifest written by an older
-    table-naming scheme, or a dropped table whose parquet files survive),
-    fall back to the parquet path rather than crashing resume with an
-    AnalysisException — the manifest checksum still guards correctness.
+    If the catalog table is MISSING (a manifest written by an older
+    table-naming scheme, a dropped table whose parquet files survive) or
+    the catalog PLUGIN is absent (conf set but no Iceberg jar on the
+    classpath — this sandbox), fall back to the parquet path rather than
+    crashing resume. Anything else — permission errors, corrupt catalog
+    metadata — must surface, not silently read possibly-stale files.
+    Callers that need proof the fallback files are current pass
+    ``resume_or_run(verify_checksum=True)`` (manifest checksum compare).
     """
     cat = _iceberg_catalog(spark)
     if cat:
         try:
             return spark.read.table(_table_ident(cat, path, stage))
-        except Exception:
+        except AnalysisException:
             pass
+        except Exception as exc:
+            if "catalog plugin" not in str(exc).lower():
+                raise
     return spark.read.parquet(path)
 
 

@@ -119,11 +119,18 @@ def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
     order-safe while each file stayed one split — VERDICT r2 Missing #5).
     Parallelism = one task per file, the natural grain for
     block-structured corpora (the reference corpus ships as many files).
-    ``splitlines()`` reproduces the text source's line semantics
-    (handles \\n / \\r\\n, no phantom empty line after a trailing
-    newline).
+    Line semantics match ``spark.read.text`` exactly: split on
+    \\n / \\r\\n / \\r ONLY (``str.splitlines`` would additionally break
+    on \\x0b \\f \\x1c-\\x1e \\x85 \\u2028 \\u2029, silently shifting
+    field alignment for tokens containing unicode separators), and
+    malformed UTF-8 bytes become U+FFFD instead of failing the task —
+    one bad byte must not kill a 100 TB run.
     """
+    import re
+
     import pandas as pd
+
+    _line_re = re.compile("\r\n|\r|\n")
 
     raw = (
         spark.read.format("binaryFile")
@@ -140,7 +147,10 @@ def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
                 for k in ("file", "block_id", "tokens", "tags", "entities", "relations")
             }
             for fname, blob in zip(pdf["file"], pdf["content"]):
-                lines = bytes(blob).decode("utf-8").splitlines()
+                text = bytes(blob).decode("utf-8", errors="replace")
+                lines = _line_re.split(text)
+                if lines and lines[-1] == "":  # trailing newline: no phantom line
+                    lines.pop()
                 for bid, (sent, rels) in enumerate(parse_lines(lines)):
                     rows["file"].append(fname)
                     rows["block_id"].append(bid)

@@ -338,3 +338,19 @@ def test_degenerate_inputs_do_not_crash(spark):
     one = spark.createDataFrame([("a", "hello world example")], ["doc_id", "content"])
     assert minhash_lsh_candidates(one, n_hashes=16, n_bands=4).count() == 0
     assert simhash_candidates(one).count() == 0
+
+
+def test_exact_dedup_null_content(spark):
+    # md5(NULL) is NULL: GROUP BY collects null-content docs into one
+    # group, but a NULL fp could never equi-join back to the keeper map —
+    # the sentinel fingerprint keeps the group joinable
+    docs = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "real text")],
+        "doc_id string, content string",
+    )
+    from rex_spark.operators.dedup import exact_dedup
+
+    rows = {r["fp"]: r for r in exact_dedup(docs).collect()}
+    assert all(fp is not None for fp in rows)
+    nulls = rows["__null_content__"]
+    assert nulls["n_copies"] == 2 and nulls["keeper"] == "a"

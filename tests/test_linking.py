@@ -255,3 +255,28 @@ def test_materialize_conf_key_switches_mode(spark, tmp_path):
         assert any(fs for _, _, fs in os.walk(ckdir))
     finally:
         spark.conf.unset(CONF_KEY)
+
+
+def test_constrain_triples_preserves_occurrences(spark):
+    # functional winners are decided at the EDGE level and applied by
+    # semi-join: every doc occurrence of the winning object survives
+    # (the naive per-occurrence row_number kept only one,
+    # nondeterministically), losers drop entirely
+    from rex_spark.operators.constraints import constrain_triples
+
+    kb = spark.createDataFrame(
+        [("s", "o1", "p")], "subj string, obj string, rel string"
+    )
+    tm = spark.createDataFrame(
+        [("s", "T"), ("o1", "U"), ("o2", "U")], "entity string, etype string"
+    )
+    triples = spark.createDataFrame(
+        [
+            ("s", "p", "o1", "d1"),
+            ("s", "p", "o1", "d2"),  # second occurrence of the winner
+            ("s", "p", "o2", "d3"),  # loser: support 1 < 2
+        ],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    got = {tuple(r) for r in constrain_triples(triples, kb, tm).collect()}
+    assert got == {("s", "p", "o1", "d1"), ("s", "p", "o1", "d2")}

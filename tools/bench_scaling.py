@@ -195,7 +195,22 @@ def main() -> None:
             "pass": median >= 0.8,
             "attempts": attempts,
         }
-        summary[job]["efficiency_vs_hw_bound"] = round(median / hw_bound, 3)
+        # bound-adjusted ratio is per-attempt (each attempt divided by ITS
+        # concurrent bound) and the headline is the median of those —
+        # dividing the cross-attempt median by only the latest run's
+        # bound would mix a historical numerator with a point-in-time
+        # denominator
+        ratios = sorted(
+            a["efficiency"] / a["hw_efficiency_bound"]
+            for a in attempts
+            if a.get("hw_efficiency_bound")
+        )
+        if ratios:
+            m = len(ratios)
+            summary[job]["efficiency_vs_hw_bound"] = round(
+                ratios[m // 2] if m % 2 else (ratios[m // 2 - 1] + ratios[m // 2]) / 2,
+                3,
+            )
         print(json.dumps({job: summary[job]["efficiency"],
                           "median": median, "best": best["efficiency"],
                           "pass": summary[job]["pass"]}))
