@@ -73,7 +73,6 @@ def main() -> None:
         "dedup_minhash",
         "content_equality",
         "dep_paths",
-        "constraint_filter",
     ]
 
     # warm the JVM + parquet footers once (not timed)
@@ -90,6 +89,23 @@ def main() -> None:
         timings[name] = round(min(walls), 4)
         if name == "triples_distant":
             n_triples = n
+
+    # constraint_filter SCOPED (VERDICT r3 Next #6): r3 and earlier this
+    # entry re-derived the whole distant subtree per invocation, so its
+    # number mostly re-measured triples_distant. It now times ONLY the
+    # constraint pass — KB-side type/functional derivations + licensing
+    # semi-joins + the functional-arity window — over a pre-materialized
+    # candidate frame (documented in BASELINE.md; the r3->r4 drop on this
+    # entry is a measurement-scope change, not a code speedup).
+    cand, type_map, ckb = entry._constraint_inputs(spark, sf_dir)
+    cand = cand.localCheckpoint()
+    cwalls = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        entry.constraint_pass(cand, type_map, ckb).count()
+        cwalls.append(time.perf_counter() - t0)
+    timings_cold["constraint_filter"] = round(cwalls[0], 4)
+    timings["constraint_filter"] = round(min(cwalls), 4)
 
     # pandas-UDF KG pipeline over the synthetic corpus (scale ~ sf)
     n_docs = {"0.001": 1000, "0.01": 4000, "0.1": 20000}.get(sf, 20000)
@@ -155,6 +171,46 @@ def main() -> None:
     timings_cold["entity_linking_cc"] = round(lkwalls[0], 4)
     timings["entity_linking_cc"] = round(min(lkwalls), 4)
 
+    # composed staged pipeline (VERDICT r3 Missing #5): materialize_kg
+    # end-to-end — candidates / labeled / triples / constrained /
+    # canonical stage tables with manifests + checksums + the per-row
+    # content-equality check — cold, then RESUMED after a simulated kill
+    # past the triples stage (downstream checkpoints dropped). The
+    # inter-stage checkpoint I/O this measures is invisible to the
+    # per-operator entries; per-stage walls ride along from the
+    # manifests as staged_stage_wall_ms.
+    import shutil
+    import tempfile
+
+    from rex_spark.plans.materialize import materialize_kg
+    from rex_spark.sources.catalog import read_manifest
+
+    staged_dir = tempfile.mkdtemp(prefix="rex_staged_bench_")
+    stage_walls: dict[str, int] = {}
+    try:
+        t0 = time.perf_counter()
+        materialize_kg(
+            spark, docs, kb, lex, staged_dir, link_entities=True, apply_constraints=True
+        ).count()
+        staged_cold = time.perf_counter() - t0
+        for st in ("candidates", "labeled", "triples", "constrained", "canonical"):
+            m = read_manifest(os.path.join(staged_dir, st))
+            if m:
+                stage_walls[st] = m["wall_ms"]
+        for st in ("constrained", "canonical"):  # kill after triples
+            shutil.rmtree(os.path.join(staged_dir, st), ignore_errors=True)
+        t0 = time.perf_counter()
+        materialize_kg(
+            spark, docs, kb, lex, staged_dir, link_entities=True, apply_constraints=True
+        ).count()
+        staged_resume = time.perf_counter() - t0
+    finally:
+        shutil.rmtree(staged_dir, ignore_errors=True)
+    timings_cold["kg_staged_cold"] = round(staged_cold, 4)
+    timings["kg_staged_cold"] = round(staged_cold, 4)
+    timings_cold["kg_staged_resume"] = round(staged_resume, 4)
+    timings["kg_staged_resume"] = round(staged_resume, 4)
+
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -166,6 +222,7 @@ def main() -> None:
                 "queries_cold": timings_cold,
                 "sf": sf,
                 "suite_seconds": total,
+                "staged_stage_wall_ms": stage_walls,
                 "kg_triples": n_kg,
                 "distant_triples_documents": n_triples,
                 "cpus": cpus,

@@ -5,17 +5,25 @@ struct; decode / feature-extraction / resize / frame-sampling run as
 ``mapInPandas`` stages so each Arrow batch hands the worker a contiguous
 block of payloads (the only sane shape for 100 TB of media).
 
-The decode kernels are STUBBED in this environment (no image/audio
-libraries in the container): ``decode_image`` raises
-``NotImplementedError`` unless ``deterministic_fake=True``, which
-produces a seeded fake decode so the Spark-side plumbing — schema,
-batching, partitioning, UDF signatures — is real and tested end to end.
+Decode kernels (VERDICT r3 Next #1 — real, pure numpy, zero deps):
+
+  - ``decode_image``: uncompressed BMP (24/32-bit BI_RGB, bottom-up and
+    top-down) and PPM (binary P6 + ascii P3) -> (H, W, 3) uint8 RGB;
+  - ``decode_audio``: RIFF/WAVE chunk walk -> mono float32 waveform in
+    [-1, 1] for PCM 8/16/24/32-bit and IEEE float32/64 data.
+
+COMPRESSED formats (JPEG/PNG/MP3/...) still raise
+``NotImplementedError`` — decoding those genuinely needs codec
+libraries this container does not ship; real deployments plug
+Pillow/turbojpeg/soundfile into the same function signatures. The
+``deterministic_fake`` escape hatch remains for plumbing tests against
+arbitrary payload bytes, but no test needs it for the supported
+formats (golden byte-literal decodes in tests/test_curation.py).
 """
 
 from __future__ import annotations
 
 import hashlib
-import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -48,18 +56,144 @@ def attach_media_meta(
     )
 
 
-def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: image decode. Real deployments plug Pillow/turbojpeg here;
-    this container has neither, so only the deterministic fake path
-    exists (seeded from the payload digest -> stable 16x16x3 array)."""
-    if not deterministic_fake:
+def _decode_bmp(b: bytes) -> np.ndarray:
+    """Uncompressed BMP -> (H, W, 3) uint8 RGB. Pure numpy: header walk +
+    one ``np.frombuffer`` over the pixel array. Supports 24/32-bit
+    BI_RGB, bottom-up (positive height, the common case) and top-down
+    rows, with the 4-byte row-stride padding the format mandates."""
+    if len(b) < 54:
+        raise ValueError(f"BMP payload truncated: {len(b)} bytes < 54-byte headers")
+    data_off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError(
-            "image decoding requires an image library not present in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
+            f"only uncompressed 24/32-bit BI_RGB BMP is supported "
+            f"(got bpp={bpp}, compression={compression})"
         )
-    seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    if width <= 0 or height == 0:
+        raise ValueError(f"BMP has degenerate dimensions {width}x{height}")
+    top_down = height < 0
+    height = abs(height)
+    stride = ((bpp * width + 31) // 32) * 4
+    if len(b) < data_off + stride * height:
+        raise ValueError(
+            f"BMP pixel array truncated: need {data_off + stride * height} "
+            f"bytes, have {len(b)}"
+        )
+    rows = np.frombuffer(b, np.uint8, stride * height, data_off).reshape(height, stride)
+    ch = bpp // 8
+    px = rows[:, : width * ch].reshape(height, width, ch)
+    if not top_down:
+        px = px[::-1]
+    # stored BGR(A) -> RGB, alpha dropped
+    return np.ascontiguousarray(px[:, :, [2, 1, 0]])
+
+
+def _decode_ppm(b: bytes) -> np.ndarray:
+    """PPM (binary P6 / ascii P3, maxval <= 255) -> (H, W, 3) uint8 RGB."""
+    magic = b[:2]
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        # skip whitespace and '#' comment lines between header fields
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("PPM header truncated")
+        fields.append(int(b[start:pos]))
+    width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PPM has degenerate dimensions {width}x{height}")
+    if maxval > 255:
+        raise NotImplementedError("16-bit-per-sample PPM is not supported")
+    n = width * height * 3
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval, then raster
+        if len(b) < pos + n:
+            raise ValueError(f"PPM raster truncated: need {n} bytes, have {len(b) - pos}")
+        flat = np.frombuffer(b, np.uint8, n, pos)
+    else:  # P3: whitespace-separated ascii sample values
+        vals = b[pos:].split()
+        if len(vals) < n:
+            raise ValueError(f"PPM raster truncated: need {n} samples, have {len(vals)}")
+        flat = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+    return flat.reshape(height, width, 3).copy()
+
+
+def decode_image(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """Image payload -> (H, W, 3) uint8 RGB array.
+
+    Real decoders (pure numpy, no external libs): uncompressed BMP
+    (``_decode_bmp``) and PPM P6/P3 (``_decode_ppm``). Compressed
+    formats (PNG/JPEG/GIF/WebP) raise ``NotImplementedError`` — real
+    deployments plug Pillow/turbojpeg into this same signature.
+    ``deterministic_fake=True`` keeps the seeded 16x16x3 fake for
+    plumbing tests over arbitrary payload bytes.
+    """
+    if payload[:2] == b"BM":
+        return _decode_bmp(payload)
+    if payload[:2] in (b"P6", b"P3"):
+        return _decode_ppm(payload)
+    if deterministic_fake:
+        seed = int.from_bytes(hashlib.sha256(payload).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n" or payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "PNG/JPEG decoding requires a codec library not present in this "
+            "environment; supported here: uncompressed BMP and PPM"
+        )
+    raise ValueError(
+        f"unrecognized image payload (magic {payload[:4]!r}); supported: "
+        "uncompressed BMP ('BM') and PPM ('P6'/'P3')"
+    )
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit bottom-up BI_RGB BMP bytes (the
+    inverse of ``_decode_bmp``; round-trip pinned in tests)."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError(f"encode_bmp needs (H, W, 3), got {img.shape}")
+    stride = ((24 * w + 31) // 32) * 4
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = img[::-1, :, [2, 1, 0]].reshape(h, w * 3)  # bottom-up BGR
+    pixels = rows.tobytes()
+    header = (
+        b"BM"
+        + (54 + len(pixels)).to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")  # pixel data offset
+        + (40).to_bytes(4, "little")  # BITMAPINFOHEADER size
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")  # planes
+        + (24).to_bytes(2, "little")  # bpp
+        + (0).to_bytes(4, "little")  # BI_RGB
+        + len(pixels).to_bytes(4, "little")
+        + b"\x00" * 16  # resolutions + palette counts
+    )
+    return header + pixels
+
+
+def encode_ppm(img: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary P6 PPM bytes."""
+    img = np.asarray(img, dtype=np.uint8)
+    h, w, ch = img.shape
+    if ch != 3:
+        raise ValueError(f"encode_ppm needs (H, W, 3), got {img.shape}")
+    return f"P6\n{w} {h}\n255\n".encode() + img.tobytes()
 
 
 _FEAT_SCHEMA = T.StructType(
@@ -75,7 +209,7 @@ def image_features(
     docs: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """payload -> small feature vector (channel means/stds of the decoded
     image). Arrow-batched; decode stub per module docstring."""
@@ -102,19 +236,155 @@ def image_features(
     return docs.select(id_col, payload_col).mapInPandas(fn, _FEAT_SCHEMA)
 
 
-def decode_audio(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
-    """STUB: audio decode. Real deployments plug soundfile/ffmpeg here;
-    this container has neither, so only the deterministic fake path
-    exists (seeded from the payload digest -> stable 1-second float32
-    waveform at 16 kHz)."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio decoding requires an audio library not present in this "
-            "environment; pass deterministic_fake=True for plumbing tests"
+def _wav_chunks(b: bytes) -> dict[bytes, bytes]:
+    """RIFF chunk walk -> {chunk_id: body} for the chunks we care about.
+    Chunks are word-aligned (odd sizes are padded with one byte)."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError(
+            f"not a RIFF/WAVE payload (magic {b[:4]!r}/{b[8:12]!r})"
         )
-    seed = int.from_bytes(hashlib.sha256(b"aud" + payload).digest()[:8], "little")
-    rng = np.random.default_rng(seed)
-    return (rng.standard_normal(16_000) * 0.1).astype(np.float32)
+    out: dict[bytes, bytes] = {}
+    pos = 12
+    while pos + 8 <= len(b):
+        cid = b[pos : pos + 4]
+        size = int.from_bytes(b[pos + 4 : pos + 8], "little")
+        body = b[pos + 8 : pos + 8 + size]
+        if cid in (b"fmt ", b"data") and cid not in out:
+            out[cid] = body
+        pos += 8 + size + (size & 1)
+    return out
+
+
+def wav_info(payload: bytes) -> dict:
+    """WAV header metadata without decoding samples: format code,
+    channels, sample_rate, bits_per_sample, n_frames, duration_ms."""
+    chunks = _wav_chunks(bytes(payload))
+    fmt = chunks.get(b"fmt ")
+    data = chunks.get(b"data", b"")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV payload has no valid 'fmt ' chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    if audio_format == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        audio_format = int.from_bytes(fmt[24:26], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    bytes_per_frame = max(1, n_channels * (bits // 8))
+    n_frames = len(data) // bytes_per_frame
+    return {
+        "format": audio_format,
+        "channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits_per_sample": bits,
+        "n_frames": n_frames,
+        "duration_ms": int(n_frames * 1000 / sample_rate) if sample_rate else 0,
+    }
+
+
+def _decode_wav(b: bytes) -> np.ndarray:
+    """RIFF/WAVE -> mono float32 waveform in [-1, 1]. Pure numpy:
+    ``np.frombuffer`` over the data chunk after the header walk.
+    PCM 8-bit (unsigned), 16/32-bit (signed LE), 24-bit (assembled from
+    byte triples), and IEEE float32/64. Multi-channel is downmixed by
+    per-frame mean."""
+    chunks = _wav_chunks(b)
+    fmt = chunks.get(b"fmt ")
+    data = chunks.get(b"data")
+    if fmt is None or len(fmt) < 16:
+        raise ValueError("WAV payload has no valid 'fmt ' chunk")
+    if data is None:
+        raise ValueError("WAV payload has no 'data' chunk")
+    info = wav_info(b)
+    audio_format, n_channels, bits = info["format"], info["channels"], info["bits_per_sample"]
+    if n_channels < 1:
+        raise ValueError("WAV fmt chunk declares zero channels")
+    if audio_format == 1:  # PCM
+        if bits == 8:
+            w = (np.frombuffer(data, np.uint8).astype(np.float32) - 128.0) / 128.0
+        elif bits == 16:
+            w = np.frombuffer(data, "<i2", len(data) // 2).astype(np.float32) / 32768.0
+        elif bits == 24:
+            tri = np.frombuffer(data, np.uint8, (len(data) // 3) * 3).reshape(-1, 3)
+            v = (
+                tri[:, 0].astype(np.int32)
+                | (tri[:, 1].astype(np.int32) << 8)
+                | (tri[:, 2].astype(np.int8).astype(np.int32) << 16)
+            )
+            w = v.astype(np.float32) / float(1 << 23)
+        elif bits == 32:
+            w = np.frombuffer(data, "<i4", len(data) // 4).astype(np.float32) / float(1 << 31)
+        else:
+            raise NotImplementedError(f"PCM WAV with {bits}-bit samples is not supported")
+    elif audio_format == 3:  # IEEE float
+        if bits == 32:
+            w = np.frombuffer(data, "<f4", len(data) // 4).astype(np.float32)
+        elif bits == 64:
+            w = np.frombuffer(data, "<f8", len(data) // 8).astype(np.float32)
+        else:
+            raise NotImplementedError(f"float WAV with {bits}-bit samples is not supported")
+    else:
+        raise NotImplementedError(
+            f"WAV audio format {audio_format} (compressed/ADPCM/MP3-in-WAV) "
+            "is not supported; supported: PCM (1) and IEEE float (3)"
+        )
+    if n_channels > 1:
+        w = w[: (len(w) // n_channels) * n_channels].reshape(-1, n_channels).mean(axis=1)
+    return w.astype(np.float32)
+
+
+def decode_audio(payload: bytes, deterministic_fake: bool = False) -> np.ndarray:
+    """Audio payload -> mono float32 waveform in [-1, 1].
+
+    Real decoder (pure numpy, no external libs): RIFF/WAVE with PCM
+    8/16/24/32-bit or IEEE float samples (``_decode_wav``). Compressed
+    formats (MP3/OGG/FLAC/AAC) raise ``NotImplementedError`` — real
+    deployments plug soundfile/ffmpeg into this same signature.
+    ``deterministic_fake=True`` keeps the seeded 1-second 16 kHz fake
+    for plumbing tests over arbitrary payload bytes.
+    """
+    b = bytes(payload)
+    if b[:4] == b"RIFF":
+        return _decode_wav(b)
+    if deterministic_fake:
+        seed = int.from_bytes(hashlib.sha256(b"aud" + b).digest()[:8], "little")
+        rng = np.random.default_rng(seed)
+        return (rng.standard_normal(16_000) * 0.1).astype(np.float32)
+    if b[:3] == b"ID3" or b[:2] in (b"\xff\xfb", b"\xff\xf3") or b[:4] in (b"OggS", b"fLaC"):
+        raise NotImplementedError(
+            "MP3/OGG/FLAC decoding requires a codec library not present in "
+            "this environment; supported here: RIFF/WAVE (PCM or IEEE float)"
+        )
+    raise ValueError(
+        f"unrecognized audio payload (magic {b[:4]!r}); supported: RIFF/WAVE"
+    )
+
+
+def encode_wav_pcm16(
+    waveform: np.ndarray, sample_rate: int = 16_000, n_channels: int = 1
+) -> bytes:
+    """float waveform in [-1, 1] (1-D mono, or (frames, channels)) ->
+    RIFF/WAVE PCM 16-bit LE bytes (inverse of ``_decode_wav`` up to
+    16-bit quantization; round-trip pinned in tests)."""
+    w = np.asarray(waveform, dtype=np.float64)
+    if w.ndim == 2:
+        n_channels = w.shape[1]
+        w = w.reshape(-1)
+    samples = np.clip(np.round(w * 32767.0), -32768, 32767).astype("<i2")
+    data = samples.tobytes()
+    byte_rate = sample_rate * n_channels * 2
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_channels.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + byte_rate.to_bytes(4, "little")
+        + (n_channels * 2).to_bytes(2, "little")  # block align
+        + (16).to_bytes(2, "little")  # bits per sample
+    )
+    body = b"WAVE" + b"fmt " + (16).to_bytes(4, "little") + fmt
+    body += b"data" + len(data).to_bytes(4, "little") + data
+    if len(data) & 1:
+        body += b"\x00"
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
 
 
 _AUDIO_FEAT_SCHEMA = T.StructType(
@@ -132,7 +402,7 @@ def audio_features(
     docs: DataFrame,
     payload_col: str = "payload",
     id_col: str = "doc_id",
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """payload -> waveform stats (rms / zero-crossing count / peak).
     Arrow-batched; decode stub per module docstring — the vectorized
@@ -173,7 +443,7 @@ def resize_images(
     id_col: str = "doc_id",
     width: int = 8,
     height: int = 8,
-    deterministic_fake: bool = True,
+    deterministic_fake: bool = False,
 ) -> DataFrame:
     """Decode -> nearest-neighbor resize -> re-emit raw bytes. The resize
     kernel (numpy index sampling) is real; decode is the declared stub."""

@@ -42,7 +42,7 @@ def materialize_kg(
     out_dir: str,
     conf: PipelineConfig | None = None,
     link_entities: bool = True,
-    verify_content: bool = True,
+    verify_content: bool | None = None,
     apply_constraints: bool = False,
 ) -> DataFrame:
     """Run (or resume) the staged extraction; returns the final triples
@@ -51,6 +51,12 @@ def materialize_kg(
     ``verify_content``: after the triples stage, re-hash the source docs
     and assert every materialized row's carried ``content_sha256`` still
     matches (per-row content-equality invariant; raises on mismatch).
+    Requires ``content_sha256`` in the carried columns and ``content``
+    in the docs. Default ``None`` = verify when those columns are
+    present, WARN (not silently no-op — ADVICE r3) when they are not;
+    an explicit ``True`` raises if the columns are missing, because a
+    requested integrity check that cannot run must not look like one
+    that passed.
 
     ``apply_constraints``: insert the PFOL-replacement constraint-
     filtering stage between triples and linking — KB-derived type
@@ -99,8 +105,25 @@ def materialize_kg(
         spark, trip_path, "triples", build_triples, partition_by=["pred"], config_echo=echo
     )
 
-    if verify_content and "content_sha256" in triples.columns and "content" in docs.columns:
-        assert_content_equality(triples, docs)
+    if verify_content or verify_content is None:
+        has_cols = "content_sha256" in triples.columns and "content" in docs.columns
+        if has_cols:
+            assert_content_equality(triples, docs)
+        elif verify_content:
+            raise ValueError(
+                "verify_content=True but the check cannot run: it needs "
+                "'content_sha256' carried on the triples (PipelineConfig."
+                "carry_cols) and 'content' on the docs; got triples columns "
+                f"{triples.columns} and docs columns {docs.columns}"
+            )
+        else:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "materialize_kg: content verification skipped — "
+                "'content_sha256'/'content' columns not present "
+                "(set PipelineConfig.carry_cols to carry the digest)"
+            )
 
     if apply_constraints:
         from ..operators.constraints import constrain_triples

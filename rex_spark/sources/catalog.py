@@ -17,12 +17,15 @@ re-run to the identical output (north_rule resumability).
 from __future__ import annotations
 
 import json
+import logging
 import os
 import time
 
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+log = logging.getLogger(__name__)
 
 MANIFEST_NAME = "_rex_manifest.json"
 
@@ -50,28 +53,56 @@ def _table_ident(cat: str, path: str, stage: str) -> str:
 
 
 def _read_stage(spark: SparkSession, path: str, stage: str) -> DataFrame:
+    return _read_stage_ex(spark, path, stage)[0]
+
+
+def _read_stage_ex(spark: SparkSession, path: str, stage: str) -> tuple[DataFrame, bool]:
     """Read a stage back from wherever write_stage put it: the Iceberg
     catalog table when one is configured, else the parquet path.
+    Returns ``(df, fell_back)``.
 
-    If the catalog table is MISSING (a manifest written by an older
-    table-naming scheme, a dropped table whose parquet files survive) or
-    the catalog PLUGIN is absent (conf set but no Iceberg jar on the
-    classpath — this sandbox), fall back to the parquet path rather than
-    crashing resume. Anything else — permission errors, corrupt catalog
-    metadata — must surface, not silently read possibly-stale files.
-    Callers that need proof the fallback files are current pass
-    ``resume_or_run(verify_checksum=True)`` (manifest checksum compare).
+    Fallback to the parquet path happens ONLY when the catalog table is
+    MISSING (error class TABLE_OR_VIEW_NOT_FOUND — a manifest written by
+    an older table-naming scheme, or a dropped table whose parquet files
+    survive) or when the catalog PLUGIN itself is absent (conf set but
+    no Iceberg jar on the classpath — this sandbox). Every other
+    AnalysisException — permission errors, corrupt catalog metadata —
+    surfaces instead of silently reading possibly-stale files (ADVICE
+    r3: the whole AnalysisException hierarchy also covers those). A
+    fallback read is logged and ``resume_or_run`` forces a manifest
+    checksum verification on it regardless of ``verify_checksum``.
     """
     cat = _iceberg_catalog(spark)
-    if cat:
+    if not cat:
+        return spark.read.parquet(path), False
+    ident = _table_ident(cat, path, stage)
+    try:
+        return spark.read.table(ident), False
+    except AnalysisException as exc:
+        err = None
         try:
-            return spark.read.table(_table_ident(cat, path, stage))
-        except AnalysisException:
+            err = exc.getErrorClass()
+        except Exception:
             pass
-        except Exception as exc:
-            if "catalog plugin" not in str(exc).lower():
-                raise
-    return spark.read.parquet(path)
+        missing = (err == "TABLE_OR_VIEW_NOT_FOUND") or (
+            # defensive: connectors that raise class-less AnalysisExceptions
+            err is None
+            and ("TABLE_OR_VIEW_NOT_FOUND" in str(exc) or "cannot be found" in str(exc))
+        )
+        if not missing:
+            raise
+        log.warning(
+            "catalog table %s not found; falling back to parquet path %s "
+            "(manifest checksum will be verified)", ident, path,
+        )
+    except Exception as exc:
+        if "catalog plugin" not in str(exc).lower():
+            raise
+        log.warning(
+            "catalog plugin for %s absent; falling back to parquet path %s "
+            "(manifest checksum will be verified)", ident, path,
+        )
+    return spark.read.parquet(path), True
 
 
 def table_checksum(df: DataFrame) -> int:
@@ -175,10 +206,14 @@ def resume_or_run(
     verify_checksum: bool = False,
 ) -> DataFrame:
     """If the stage checkpoint is complete (and config matches), read it
-    back; otherwise run ``build()`` and materialize. Idempotent."""
+    back; otherwise run ``build()`` and materialize. Idempotent.
+    A catalog-to-parquet fallback read is ALWAYS checksum-verified
+    (the fallback files could be stale relative to the dropped table)."""
     if stage_is_complete(path, config_echo):
-        df = _read_stage(spark, path, stage)
-        if not verify_checksum or table_checksum(df) == read_manifest(path)["checksum"]:
+        df, fell_back = _read_stage_ex(spark, path, stage)
+        if not (verify_checksum or fell_back) or table_checksum(df) == read_manifest(
+            path
+        )["checksum"]:
             return df
     df = build()
     write_stage(df, path, stage, partition_by, config_echo)

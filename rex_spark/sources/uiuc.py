@@ -109,7 +109,9 @@ UIUC_SCHEMA = T.StructType(
 )
 
 
-def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
+def read_uiuc(
+    spark: SparkSession, path: str, max_file_bytes: int = 1 << 30
+) -> DataFrame:
     """Distributed reader: one row per labeled sentence.
 
     Whole-file parse via the ``binaryFile`` source: each corpus file
@@ -125,6 +127,14 @@ def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
     field alignment for tokens containing unicode separators), and
     malformed UTF-8 bytes become U+FFFD instead of failing the task —
     one bad byte must not kill a 100 TB run.
+
+    ``max_file_bytes`` (ADVICE r3): the whole-file source concentrates
+    each file on one task and hard-fails above ~2 GB, so oversized
+    inputs are rejected UP FRONT with a clear message — a metadata-only
+    check against the file listing (no content read) — instead of
+    surfacing mid-job as an executor OOM or a binaryFile limit error
+    halfway through a 100 TB run. For single-huge-file corpora, split
+    the file or use a splittable line reader.
     """
     import re
 
@@ -132,11 +142,23 @@ def read_uiuc(spark: SparkSession, path: str) -> DataFrame:
 
     _line_re = re.compile("\r\n|\r|\n")
 
-    raw = (
-        spark.read.format("binaryFile")
-        .load(path)
-        .select(F.col("path").alias("file"), F.col("content"))
+    raw0 = spark.read.format("binaryFile").load(path)
+    # fail fast on oversized files: `length` comes from the file status
+    # (listing metadata), so this scans no content
+    big = (
+        raw0.select("path", "length")
+        .where(F.col("length") > max_file_bytes)
+        .orderBy(F.desc("length"))
+        .take(1)
     )
+    if big:
+        raise ValueError(
+            f"read_uiuc: {big[0]['path']} is {big[0]['length']} bytes, over "
+            f"max_file_bytes={max_file_bytes}. The whole-file reader parses "
+            "each file on ONE task (binaryFile caps at ~2GB); split the "
+            "corpus file or raise max_file_bytes (< 2GB)."
+        )
+    raw = raw0.select(F.col("path").alias("file"), F.col("content"))
 
     def fn(batches):
         for pdf in batches:

@@ -197,20 +197,105 @@ def test_fingerprint_parity(spark):
     )
 
 
+def _checker(h, w):
+    """Deterministic (h, w, 3) uint8 test image (no RNG, no ties)."""
+    img = np.zeros((h, w, 3), dtype=np.uint8)
+    for y in range(h):
+        for x in range(w):
+            img[y, x] = ((y * 37 + x * 11) % 256, (y * 5 + 100) % 256, (x * 7 + 3) % 256)
+    return img
+
+
+def test_bmp_golden_byte_literal():
+    # hand-built 2x1 24-bit bottom-up BMP: one row, pixels RED then GREEN,
+    # stride padded to 8 bytes; decode must return exactly [[R],[G]] RGB.
+    from rex_spark.operators.multimodal import decode_image
+
+    pixels = bytes([0, 0, 255, 0, 255, 0, 0, 0])  # BGR red, BGR green, 2 pad
+    hdr = (
+        b"BM" + (54 + 8).to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little") + (40).to_bytes(4, "little")
+        + (2).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (8).to_bytes(4, "little") + b"\x00" * 16
+    )
+    img = decode_image(hdr + pixels)
+    assert img.shape == (1, 2, 3)
+    assert img[0, 0].tolist() == [255, 0, 0]  # red
+    assert img[0, 1].tolist() == [0, 255, 0]  # green
+
+
+def test_image_codec_roundtrip():
+    from rex_spark.operators.multimodal import decode_image, encode_bmp, encode_ppm
+
+    img = _checker(5, 7)  # odd width exercises BMP row padding
+    assert np.array_equal(decode_image(encode_bmp(img)), img)
+    assert np.array_equal(decode_image(encode_ppm(img)), img)
+    # ascii P3 variant of the same image
+    p3 = ("P3\n# comment\n7 5\n255\n" + " ".join(str(v) for v in img.reshape(-1))).encode()
+    assert np.array_equal(decode_image(p3), img)
+
+
+def test_wav_golden_byte_literal():
+    # hand-built RIFF/PCM WAV: mono 16-bit, 4 samples [0, 16384, -16384, -32768]
+    from rex_spark.operators.multimodal import decode_audio, wav_info
+
+    data = (0).to_bytes(2, "little", signed=True)
+    data += (16384).to_bytes(2, "little", signed=True)
+    data += (-16384).to_bytes(2, "little", signed=True)
+    data += (-32768).to_bytes(2, "little", signed=True)
+    fmt = (
+        (1).to_bytes(2, "little") + (1).to_bytes(2, "little")
+        + (8000).to_bytes(4, "little") + (16000).to_bytes(4, "little")
+        + (2).to_bytes(2, "little") + (16).to_bytes(2, "little")
+    )
+    body = b"WAVEfmt " + (16).to_bytes(4, "little") + fmt
+    body += b"data" + (8).to_bytes(4, "little") + data
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    w = decode_audio(wav)
+    assert w.dtype == np.float32
+    assert np.allclose(w, [0.0, 0.5, -0.5, -1.0])
+    info = wav_info(wav)
+    assert info["sample_rate"] == 8000 and info["channels"] == 1
+    assert info["n_frames"] == 4 and info["bits_per_sample"] == 16
+
+
+def test_wav_roundtrip_and_channels():
+    from rex_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    t = np.arange(256) / 256.0
+    mono = (0.25 * np.sin(2 * np.pi * 5 * t)).astype(np.float32)
+    got = decode_audio(encode_wav_pcm16(mono, sample_rate=16_000))
+    assert np.allclose(got, mono, atol=1.0 / 32767)  # 16-bit quantization grain
+    # stereo downmix: channels [x, -x] average to silence
+    stereo = np.stack([mono, -mono], axis=1)
+    got2 = decode_audio(encode_wav_pcm16(stereo, sample_rate=16_000))
+    assert np.abs(got2).max() <= 1.0 / 32767
+
+
 def test_multimodal_plumbing(spark):
+    from rex_spark.operators.multimodal import encode_bmp
+
+    img_a, img_b = _checker(4, 4), _checker(6, 3)
     docs = spark.createDataFrame(
-        [("a", bytearray(b"\x89PNG fake payload 1")), ("b", bytearray(b"RIFF fake wav"))],
+        [("a", bytearray(encode_bmp(img_a))), ("b", bytearray(encode_bmp(img_b)))],
         ["doc_id", "payload"],
     )
     meta = attach_media_meta(docs)
     rows = {r["doc_id"]: r for r in meta.collect()}
-    assert rows["a"]["payload_bytes"] == 19 and len(rows["a"]["payload_sha256"]) == 64
+    assert rows["a"]["payload_bytes"] == 54 + 4 * 12 and len(rows["a"]["payload_sha256"]) == 64
 
-    feats = image_features(docs, deterministic_fake=True)
+    feats = image_features(docs)  # REAL decode — no deterministic_fake
     frows = {r["doc_id"]: r for r in feats.collect()}
     assert len(frows["a"]["feature"]) == 6
+    # channel means of the decoded image, exactly
+    expect = np.concatenate(
+        [img_a.astype(np.float32).mean(axis=(0, 1)) / 255.0,
+         img_a.astype(np.float32).std(axis=(0, 1)) / 255.0]
+    )
+    assert np.allclose(frows["a"]["feature"], expect, atol=1e-6)
     # deterministic: same payload -> same features
-    again = {r["doc_id"]: r for r in image_features(docs, deterministic_fake=True).collect()}
+    again = {r["doc_id"]: r for r in image_features(docs).collect()}
     assert frows["a"]["feature"] == again["a"]["feature"]
 
     frames = sample_frames(docs, every_n=4, n_frames=16)
@@ -218,11 +303,18 @@ def test_multimodal_plumbing(spark):
     assert frames.select("frame_idx").distinct().count() == 4
 
 
-def test_decode_stub_raises():
-    from rex_spark.operators.multimodal import decode_image
+def test_decode_compressed_formats_raise():
+    # the ONLY remaining decode stubs: genuinely compressed formats
+    from rex_spark.operators.multimodal import decode_audio, decode_image
 
     with pytest.raises(NotImplementedError):
-        decode_image(b"x", deterministic_fake=False)
+        decode_image(b"\x89PNG\r\n\x1a\n rest-of-png")
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"ID3\x03 rest-of-mp3")
+    with pytest.raises(ValueError):
+        decode_image(b"xxxx garbage")
+    with pytest.raises(ValueError):
+        decode_audio(b"xxxx garbage")
 
 
 def test_ivf_topk_recall(spark):
@@ -289,31 +381,43 @@ def test_ivf_kmeans_recall_and_balance(spark):
 
 
 def test_audio_and_resize_plumbing(spark):
-    from rex_spark.operators.multimodal import audio_features, resize_images
-
-    df = spark.createDataFrame(
-        [(str(i), bytes([i] * 64)) for i in range(6)],
-        "doc_id string, payload binary",
+    from rex_spark.operators.multimodal import (
+        audio_features,
+        encode_bmp,
+        encode_wav_pcm16,
+        resize_images,
     )
-    af = audio_features(df).collect()
+
+    t = np.arange(800)
+    wavs = [
+        encode_wav_pcm16((0.3 * np.sin(2 * np.pi * (i + 2) * t / 100)).astype(np.float32))
+        for i in range(6)
+    ]
+    df = spark.createDataFrame(
+        [(str(i), wavs[i]) for i in range(6)], "doc_id string, payload binary"
+    )
+    af = audio_features(df).collect()  # REAL WAV decode — no deterministic_fake
     assert len(af) == 6
     assert all(0.0 < r["rms"] < 1.0 and r["zero_crossings"] > 0 for r in af)
+    # sine rms = amplitude/sqrt(2), through the real decoder
+    rms = {r["doc_id"]: r["rms"] for r in af}
+    assert abs(rms["0"] - 0.3 / np.sqrt(2)) < 0.01
     # deterministic: same payload -> same features
     af2 = {r["doc_id"]: r["rms"] for r in audio_features(df).collect()}
-    assert {r["doc_id"]: r["rms"] for r in af} == af2
+    assert rms == af2
 
-    rz = resize_images(df, width=4, height=4).collect()
+    imgs = spark.createDataFrame(
+        [(str(i), encode_bmp(_checker(8, 8 + i))) for i in range(6)],
+        "doc_id string, payload binary",
+    )
+    rz = resize_images(imgs, width=4, height=4).collect()
     assert len(rz) == 6
     assert all(len(r["resized"]) == 4 * 4 * 3 for r in rz)
-
-
-def test_audio_decode_stub_raises():
-    import pytest as _pytest
-
-    from rex_spark.operators.multimodal import decode_audio
-
-    with _pytest.raises(NotImplementedError):
-        decode_audio(b"abc")
+    # nearest-neighbor of the real decoded image, exactly
+    got = next(r for r in rz if r["doc_id"] == "0")
+    src = _checker(8, 8)
+    expect = src[np.ix_((np.arange(4) * 2), (np.arange(4) * 2))]
+    assert bytes(got["resized"]) == expect.tobytes()
 
 
 def test_degenerate_inputs_do_not_crash(spark):

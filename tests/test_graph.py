@@ -74,6 +74,114 @@ def test_khop_cycle_saturates(spark):
     assert got == {"x": 2, "y": 2, "z": 2}
 
 
+def test_pagerank_no_driver_collect_in_loop(spark, monkeypatch):
+    # VERDICT r3 What's-wrong #1: the loop must not issue a driver
+    # collect per iteration (the dangling mass comes from the contribs
+    # aggregate by mass conservation, not a second per-iteration job).
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    DF = type(e)  # the CONCRETE DataFrame class (pyspark.sql.classic)
+    calls = {"n": 0}
+    orig = DF.collect
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(DF, "collect", counting)
+    ranks = pagerank(e, iters=10)
+    assert calls["n"] == 0, "pagerank issued driver collect(s) while building"
+    monkeypatch.setattr(DF, "collect", orig)
+    assert sum(r["rank"] for r in ranks.collect()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_pagerank_single_action_per_iteration(spark, monkeypatch):
+    # One user-level ACTION per iteration (VERDICT r3 task 3): each extra
+    # iteration adds exactly one materialize (localCheckpoint of the
+    # contribs aggregate) and zero collect/count driver actions. (Raw
+    # job counts are not a valid instrument here: AQE legitimately
+    # splits one action into a job per query stage.)
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    DF = type(e)  # the CONCRETE DataFrame class (pyspark.sql.classic)
+
+    counts = {"ckpt": 0, "collect": 0, "count": 0}
+    orig_ckpt, orig_collect, orig_count = (
+        DF.localCheckpoint, DF.collect, DF.count,
+    )
+    monkeypatch.setattr(
+        DF, "localCheckpoint",
+        lambda self, *a, **k: (counts.__setitem__("ckpt", counts["ckpt"] + 1),
+                               orig_ckpt(self, *a, **k))[1],
+    )
+    monkeypatch.setattr(
+        DF, "collect",
+        lambda self: (counts.__setitem__("collect", counts["collect"] + 1),
+                      orig_collect(self))[1],
+    )
+    monkeypatch.setattr(
+        DF, "count",
+        lambda self: (counts.__setitem__("count", counts["count"] + 1),
+                      orig_count(self))[1],
+    )
+
+    def actions_for(iters: int) -> dict:
+        for k in counts:
+            counts[k] = 0
+        pagerank(e, iters=iters)
+        return dict(counts)
+
+    a2, a6 = actions_for(2), actions_for(6)
+    assert a6["ckpt"] - a2["ckpt"] == 4, (a2, a6)  # exactly 1 per extra iteration
+    assert a2["collect"] == a6["collect"] == 0  # never a driver collect
+    assert a2["count"] == a6["count"] == 1  # only the one-off node count
+
+
+def test_pagerank_star_hub(spark):
+    # 10^5-edge star (VERDICT r3 task 3): one hub with 100k out-edges,
+    # every spoke dangling. The hub-salted rank join must complete and
+    # match the closed-form two-variable iteration exactly.
+    n_spokes = 100_000
+    e = spark.range(n_spokes).select(
+        F.lit("hub").alias("src"), F.concat(F.lit("s"), F.col("id")).alias("dst")
+    )
+    got = {r["node"]: r["rank"] for r in pagerank(e, iters=5, hub_salts=16).collect()}
+    n = n_spokes + 1
+    d = 0.85
+    h = s = 1.0 / n
+    for _ in range(5):
+        dang = n_spokes * s  # spokes have no out-edges
+        h, s = (
+            (1 - d) / n + d * (dang / n),
+            (1 - d) / n + d * (h / n_spokes + dang / n),
+        )
+    assert len(got) == n
+    assert got["hub"] == pytest.approx(h, rel=1e-9)
+    assert got["s0"] == pytest.approx(s, rel=1e-9)
+    assert got["s99999"] == pytest.approx(s, rel=1e-9)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_khop_variants_agree(spark, tmp_path):
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "src string, dst string",
+    )
+    exact = {r["node"]: r["n_reach"] for r in khop_counts(e, k=3).collect()}
+    # hub-salted frontier join: identical output
+    salted = {r["node"]: r["n_reach"] for r in khop_counts(e, k=3, hub_salts=4).collect()}
+    assert salted == exact
+    # durable checkpoints (ADVICE r3): identical output
+    durable = {
+        r["node"]: r["n_reach"]
+        for r in khop_counts(e, k=3, checkpoint_dir=str(tmp_path)).collect()
+    }
+    assert durable == exact
+    # HLL option: exact at these tiny cardinalities
+    approx = {
+        r["node"]: r["n_reach"] for r in khop_counts(e, k=3, approx_rsd=0.01).collect()
+    }
+    assert approx == exact
+
+
 def test_pagerank_nontrivial_graph(spark):
     # 10k-node deterministic graph (each node links to 3 pseudo-random
     # targets; ~2% of nodes dangling): distributed ranks must match the

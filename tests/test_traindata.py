@@ -66,6 +66,45 @@ def test_gold_kept_even_when_filter_rejects(spark):
     assert got[(1, 2)] == "weird_rel"
 
 
+def test_fused_path_matches_naive_featurization(spark):
+    # the candidate-join fast path (VERDICT r3 What's-wrong #5) must be
+    # row-identical to featurizing ALL gold through the dedicated gold
+    # featurizer — including a gold pair OUTSIDE the candidate space
+    from rex_spark.operators.traindata import _featurize_gold, _GOLD_SCHEMA
+    from rex_spark.operators.candidates import generate_candidates
+
+    sents = _sentences(spark)
+    gold = spark.createDataFrame(
+        [("s1", 0, 0, 2, "founder_of"),   # inside candidate space
+         ("s1", 0, 1, 2, "weird_rel"),    # outside ('entities' rejects KW)
+         ("s2", 0, 0, 2, "visited")],     # inside
+        "doc_id string, sent_idx int, q_idx int, a_idx int, label string",
+    )
+    conf = CandidateConfig(candidate_filter="entities")
+    fused = training_data_from_gold(sents, gold, conf)
+
+    naive_pos = _featurize_gold(sents, gold, conf)
+    cands = generate_candidates(
+        sents.select("doc_id", "sent_idx", "tokens", "tags", "entities"), conf
+    )
+    keys = ["doc_id", "sent_idx", "q_idx", "a_idx"]
+    naive_neg = (
+        cands.join(gold.select(*keys).distinct(), keys, "left_anti")
+        .withColumn("label", F.lit(NO_RELATION))
+        .select(*[f.name for f in _GOLD_SCHEMA.fields])
+    )
+    naive = naive_pos.unionByName(naive_neg)
+
+    def canon(df):
+        return sorted(
+            (r["doc_id"], r["sent_idx"], r["q_idx"], r["a_idx"], r["label"],
+             tuple(r["f_idx"]), tuple(r["f_val"]))
+            for r in df.collect()
+        )
+
+    assert canon(fused) == canon(naive)
+
+
 def test_positive_training_data(spark):
     pos = positive_training_data(_sentences(spark), _gold(spark))
     rows = pos.collect()

@@ -162,6 +162,19 @@ def test_read_uiuc_spark(spark, tmp_path):
     assert got == {(0, 3, 16, "kill"), (1, 4, 10, "kill"), (2, 1, 20, "kill"), (2, 6, 20, "kill")}
 
 
+def test_read_uiuc_oversized_file_fails_fast(spark, tmp_path):
+    # ADVICE r3: files over max_file_bytes must be rejected up front with
+    # a clear message (metadata check), not die mid-job on one task
+    import pytest
+
+    p = tmp_path / "corpus.txt"
+    p.write_text(EXAMPLE)
+    with pytest.raises(ValueError, match="max_file_bytes"):
+        read_uiuc(spark, str(p), max_file_bytes=10)
+    # at the default limit the same file parses fine
+    assert read_uiuc(spark, str(p)).count() == len(EXPECTED)
+
+
 def test_read_uiuc_multifile(spark, tmp_path):
     # VERDICT r2 Missing #5: the binaryFile whole-file reader must parse
     # a multi-file corpus with per-file block ids and correct ordering
