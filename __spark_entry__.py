@@ -613,14 +613,18 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multimodal metadata path over a real binary column (text bytes as
-    # payload): size + sha256 digests, all JVM-side Column expressions.
+    # payload): size + sha256 digest + magic-byte format sniff, all
+    # JVM-side Column expressions. The oracle replays the ascii-visible
+    # sniff branches on the text (binary-only magics — PNG/JPEG/MP3
+    # sync words — cannot occur in UTF-8 encoded corpus text, so both
+    # engines agree on every branch).
     from rex_spark.operators.multimodal import attach_media_meta
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id"), F.encode(F.col("text"), "UTF-8").alias("payload")
     )
     out = attach_media_meta(d)
-    return out.select("doc_id", "payload_bytes", "payload_sha256")
+    return out.select("doc_id", "payload_bytes", "payload_sha256", "payload_format")
 
 
 def q_kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1619,7 +1623,18 @@ def oracle_sql() -> dict[str, str]:
         "media_meta": """
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
-                   sha256(text) AS payload_sha256
+                   sha256(text) AS payload_sha256,
+                   CASE
+                     WHEN text LIKE 'BM%' THEN 'bmp'
+                     WHEN text LIKE 'P6%' OR text LIKE 'P3%' THEN 'ppm'
+                     WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'gif'
+                     WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
+                     WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN text LIKE 'ID3%' THEN 'mp3'
+                     WHEN text LIKE 'OggS%' THEN 'ogg'
+                     WHEN text LIKE 'fLaC%' THEN 'flac'
+                     ELSE 'unknown'
+                   END AS payload_format
             FROM documents
         """,
         "fold_assignment": """

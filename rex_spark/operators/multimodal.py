@@ -43,16 +43,50 @@ MEDIA_META_SCHEMA = T.StructType(
 )
 
 
+def sniff_format_col(payload_col: str = "payload"):
+    """JVM-side magic-byte format sniff for a binary payload column —
+    pure Column expressions over the hex of the first bytes (no Python,
+    stays inside whole-stage codegen). Returns a string Column:
+    bmp/ppm/png/jpeg/gif/wav/avi/mp3/ogg/flac/unknown."""
+    c = F.col(payload_col)
+    h = F.hex(F.substring(c, 1, 8))  # uppercase hex of the leading bytes
+    riff_kind = F.hex(F.substring(c, 9, 4))  # RIFF form type at offset 8
+    return (
+        F.when(h.startswith("424D"), F.lit("bmp"))  # 'BM'
+        .when(h.startswith("5036") | h.startswith("5033"), F.lit("ppm"))  # P6/P3
+        .when(h.startswith("89504E470D0A1A0A"), F.lit("png"))
+        .when(h.startswith("FFD8"), F.lit("jpeg"))
+        .when(
+            h.startswith("474946383761") | h.startswith("474946383961"), F.lit("gif")
+        )  # GIF87a / GIF89a exactly
+        .when(
+            h.startswith("52494646") & (riff_kind == "57415645"), F.lit("wav")
+        )  # RIFF....WAVE
+        .when(
+            h.startswith("52494646") & (riff_kind == "41564920"), F.lit("avi")
+        )  # RIFF....AVI(space)
+        .when(
+            h.startswith("494433") | h.startswith("FFFB") | h.startswith("FFF3"),
+            F.lit("mp3"),
+        )
+        .when(h.startswith("4F676753"), F.lit("ogg"))  # OggS
+        .when(h.startswith("664C6143"), F.lit("flac"))  # fLaC
+        .otherwise(F.lit("unknown"))
+    )
+
+
 def attach_media_meta(
     docs: DataFrame, payload_col: str = "payload", meta: dict | None = None
 ) -> DataFrame:
-    """Adds size/digest columns (JVM-side) for any binary payload column."""
+    """Adds size/digest/format columns (all JVM-side) for any binary
+    payload column."""
     c = F.col(payload_col)
     return docs.select(
         "*",
         F.length(c).cast("bigint").alias("payload_bytes"),
         F.sha2(c, 256).alias("payload_sha256"),
         F.crc32(c).alias("payload_crc32"),
+        sniff_format_col(payload_col).alias("payload_format"),
     )
 
 
@@ -477,6 +511,47 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+def avi_info(payload: bytes) -> dict:
+    """RIFF/AVI container metadata without decoding frames: walk the
+    nested LIST chunks to the ``avih`` main header (pure byte walking,
+    zero deps). Frame DECODE stays out of scope (MJPEG/codec payloads
+    need codec libraries), but frame COUNT, timing and dimensions are
+    plain header fields."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError(
+            f"not a RIFF/AVI payload (magic {b[:4]!r}/{b[8:12]!r})"
+        )
+
+    def find_avih(start: int, end: int) -> bytes | None:
+        pos = start
+        while pos + 8 <= end:
+            cid = b[pos : pos + 4]
+            sz = int.from_bytes(b[pos + 4 : pos + 8], "little")
+            body = pos + 8
+            if cid == b"LIST":
+                found = find_avih(body + 4, min(body + sz, end))
+                if found is not None:
+                    return found
+            elif cid == b"avih":
+                return b[body : body + sz]
+            pos = body + sz + (sz & 1)
+        return None
+
+    avih = find_avih(12, len(b))
+    if avih is None or len(avih) < 40:
+        raise ValueError("AVI payload has no valid 'avih' main header")
+    us_per_frame = int.from_bytes(avih[0:4], "little")
+    total = int.from_bytes(avih[16:20], "little")
+    return {
+        "micro_sec_per_frame": us_per_frame,
+        "total_frames": total,
+        "width": int.from_bytes(avih[32:36], "little"),
+        "height": int.from_bytes(avih[36:40], "little"),
+        "duration_ms": (total * us_per_frame) // 1000,
+    }
+
+
 def sample_frames(
     docs: DataFrame,
     payload_col: str = "payload",
@@ -484,9 +559,12 @@ def sample_frames(
     every_n: int = 4,
     n_frames: int = 16,
 ) -> DataFrame:
-    """Frame sampling plumbing: deterministic frame selection over a fake
-    frame sequence derived from the payload (real decoder plugs in the
-    same signature). One output row per sampled frame."""
+    """Deterministic every-Nth frame selection. For RIFF/AVI payloads
+    the frame count comes from the REAL container header (``avi_info``);
+    other containers fall back to the declared ``n_frames`` (codec-level
+    frame decode needs libraries this container does not ship — a real
+    decoder plugs into the same signature). One output row per sampled
+    frame."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -495,7 +573,10 @@ def sample_frames(
                 if payload is None:
                     continue
                 raw = bytes(payload)
-                total = n_frames  # stub: real decoder reports frame count
+                if raw[:4] == b"RIFF" and raw[8:12] == b"AVI ":
+                    total = avi_info(raw)["total_frames"]
+                else:
+                    total = n_frames  # non-AVI containers: declared count
                 for fi in range(0, total, every_n):
                     ids.append(str(doc_id))
                     idxs.append(fi)

@@ -152,18 +152,30 @@ def write_stage(
         back = spark.read.parquet(path)
     wall_ms = int((time.perf_counter() - t0) * 1000)
 
-    # lineage: per spark-partition row counts of the written table
+    # lineage + row count + checksum in ONE pass over the written table:
+    # per-partition (count, hash-sum) rows collect to the driver and the
+    # totals are derived there. The previous three separate actions
+    # (lineage groupBy, count(), checksum agg) re-scanned a
+    # corpus-sized stage table three times — at 100 TB that is two full
+    # scans of pure overhead per stage.
+    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in back.columns]
+    per_part = (
+        back.select(
+            F.spark_partition_id().alias("pid"),
+            F.hash(*cols).cast("decimal(38,0)").alias("h"),
+        )
+        .groupBy("pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("h").alias("s"))
+        .collect()
+    )
     lineage = [
         {"partition_id": int(r["pid"]), "row_count": int(r["n"])}
-        for r in back.withColumn("pid", F.spark_partition_id())
-        .groupBy("pid")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
+        for r in sorted(per_part, key=lambda r: r["pid"])
     ]
     manifest = {
         "stage": stage,
-        "row_count": int(back.count()),
-        "checksum": table_checksum(back),
+        "row_count": int(sum(r["n"] for r in per_part)),
+        "checksum": int(sum(r["s"] for r in per_part)),
         "partition_by": partition_by or [],
         "n_partitions": len(lineage),
         "lineage": lineage,

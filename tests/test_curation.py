@@ -284,6 +284,7 @@ def test_multimodal_plumbing(spark):
     meta = attach_media_meta(docs)
     rows = {r["doc_id"]: r for r in meta.collect()}
     assert rows["a"]["payload_bytes"] == 54 + 4 * 12 and len(rows["a"]["payload_sha256"]) == 64
+    assert rows["a"]["payload_format"] == "bmp"
 
     feats = image_features(docs)  # REAL decode — no deterministic_fake
     frows = {r["doc_id"]: r for r in feats.collect()}
@@ -301,6 +302,69 @@ def test_multimodal_plumbing(spark):
     frames = sample_frames(docs, every_n=4, n_frames=16)
     assert frames.count() == 2 * 4
     assert frames.select("frame_idx").distinct().count() == 4
+
+
+def _make_avi(total_frames: int, us_per_frame: int = 40_000, w: int = 64, h: int = 48):
+    avih = (
+        us_per_frame.to_bytes(4, "little") + b"\x00" * 12
+        + total_frames.to_bytes(4, "little") + b"\x00" * 12
+        + w.to_bytes(4, "little") + h.to_bytes(4, "little") + b"\x00" * 16
+    )
+    hdrl = b"hdrl" + b"avih" + len(avih).to_bytes(4, "little") + avih
+    body = b"AVI " + b"LIST" + len(hdrl).to_bytes(4, "little") + hdrl
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_avi_header_and_frame_sampling(spark):
+    from rex_spark.operators.multimodal import avi_info, sample_frames
+
+    avi = _make_avi(total_frames=25, us_per_frame=40_000)
+    info = avi_info(avi)
+    assert info["total_frames"] == 25 and info["width"] == 64
+    assert info["duration_ms"] == 1000  # 25 frames at 25 fps
+    with pytest.raises(ValueError):
+        avi_info(b"RIFF\x00\x00\x00\x00WAVE")
+
+    # frame count comes from the REAL container header for AVI payloads
+    df = spark.createDataFrame(
+        [("v", bytearray(avi)), ("x", bytearray(b"not-a-container"))],
+        ["doc_id", "payload"],
+    )
+    frames = sample_frames(df, every_n=4, n_frames=16)
+    got = {}
+    for r in frames.collect():
+        got.setdefault(r["doc_id"], []).append(r["frame_idx"])
+    assert sorted(got["v"]) == [0, 4, 8, 12, 16, 20, 24]  # ceil(25/4) = 7 frames
+    assert sorted(got["x"]) == [0, 4, 8, 12]  # declared-count fallback
+
+
+def test_format_sniffing(spark):
+    # JVM-side magic-byte sniff: one branch per supported/known format
+    from rex_spark.operators.multimodal import (
+        attach_media_meta,
+        encode_bmp,
+        encode_ppm,
+        encode_wav_pcm16,
+    )
+
+    payloads = {
+        "bmp": bytes(encode_bmp(_checker(2, 2))),
+        "ppm": bytes(encode_ppm(_checker(2, 2))),
+        "wav": bytes(encode_wav_pcm16(np.zeros(4, np.float32))),
+        "png": b"\x89PNG\r\n\x1a\n garbage",
+        "jpeg": b"\xff\xd8\xff\xe0 garbage",
+        "gif": b"GIF89a garbage",
+        "mp3": b"ID3\x03 garbage",
+        "ogg": b"OggS garbage",
+        "flac": b"fLaC garbage",
+        "avi": b"RIFF\x00\x00\x00\x00AVI  garbage",
+        "unknown": b"plain text payload",
+    }
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, v in payloads.items()], ["doc_id", "payload"]
+    )
+    got = {r["doc_id"]: r["payload_format"] for r in attach_media_meta(df).collect()}
+    assert got == {k: k for k in payloads}
 
 
 def test_decode_compressed_formats_raise():
