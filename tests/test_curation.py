@@ -260,6 +260,54 @@ def test_wav_golden_byte_literal():
     assert info["n_frames"] == 4 and info["bits_per_sample"] == 16
 
 
+def test_codec_edge_cases():
+    # 32-bit BMP (alpha dropped), top-down rows, truncation, PPM header
+    # comments, PCM 8/24-bit, IEEE float32, odd-size RIFF chunk padding
+    from rex_spark.operators.multimodal import decode_audio, decode_image, encode_bmp
+
+    img1 = np.array([[[7, 200, 3]]], np.uint8)
+    b = bytearray(encode_bmp(img1))
+    b[22:26] = (-1).to_bytes(4, "little", signed=True)  # top-down flag
+    assert np.array_equal(decode_image(bytes(b)), img1)
+    px = bytes([3, 200, 7, 255])  # BGRA
+    hdr32 = (
+        b"BM" + (58).to_bytes(4, "little") + b"\0\0\0\0" + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little") + (1).to_bytes(4, "little") + (1).to_bytes(4, "little")
+        + (1).to_bytes(2, "little") + (32).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + (4).to_bytes(4, "little") + b"\0" * 16
+    )
+    assert np.array_equal(decode_image(hdr32 + px), img1)
+    with pytest.raises(ValueError):
+        decode_image(bytes(encode_bmp(img1))[:-1])  # truncated pixel array
+    p6 = b"P6\n#c\n1\n#c\n1\n#c\n255\n" + bytes([7, 200, 3])
+    assert np.array_equal(decode_image(p6), img1)
+
+    def wav(fmt_code, bits, data, block):
+        fmt = (
+            fmt_code.to_bytes(2, "little") + (1).to_bytes(2, "little")
+            + (8000).to_bytes(4, "little") + (8000 * block).to_bytes(4, "little")
+            + block.to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        junk = b"JUNK" + (3).to_bytes(4, "little") + b"abc" + b"\0"  # odd size + pad
+        body = (b"WAVE" + junk + b"fmt " + (16).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+    assert np.allclose(
+        decode_audio(wav(1, 8, bytes([128, 255, 0]), 1)), [0.0, 127 / 128, -1.0]
+    )
+    tri = (8388607).to_bytes(3, "little", signed=True) + (-8388608).to_bytes(
+        3, "little", signed=True
+    )
+    assert np.allclose(
+        decode_audio(wav(1, 24, tri, 3)), [8388607 / 8388608, -1.0]
+    )
+    assert np.allclose(
+        decode_audio(wav(3, 32, np.array([0.25, -0.75], "<f4").tobytes(), 4)),
+        [0.25, -0.75],
+    )
+
+
 def test_wav_roundtrip_and_channels():
     from rex_spark.operators.multimodal import decode_audio, encode_wav_pcm16
 
