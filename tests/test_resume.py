@@ -139,6 +139,46 @@ def test_iceberg_branch_dispatch_with_stubbed_conf(spark, out_dir, tmp_path):
     assert _iceberg_catalog(spark) is None
 
 
+def test_catalog_fallback_forces_checksum_verify(spark, out_dir):
+    # ADVICE r3: a catalog->parquet fallback read could serve STALE files
+    # (dropped table, surviving parquet). The fallback must therefore be
+    # checksum-verified even with verify_checksum=False — stale content
+    # triggers a rebuild instead of being returned silently.
+    from rex_spark.sources.catalog import resume_or_run
+
+    df = spark.createDataFrame([("a", "calls", "b")], ["subj", "pred", "obj"])
+    write_stage(df, out_dir, "triples")
+
+    # make the parquet files stale relative to the manifest checksum
+    stale = spark.createDataFrame([("x", "stale", "y")], ["subj", "pred", "obj"])
+    manifest_backup = read_manifest(out_dir)
+    stale.write.mode("overwrite").parquet(out_dir)
+    import json as _json
+
+    with open(os.path.join(out_dir, "_rex_manifest.json"), "w") as f:
+        _json.dump(manifest_backup, f)  # manifest still claims the OLD content
+
+    spark.conf.set("spark.sql.catalog.rex", "org.apache.iceberg.spark.SparkCatalog")
+    try:
+        class RebuildAttempted(Exception):
+            pass
+
+        def build():
+            # reaching build() proves the stale fallback read was rejected
+            # (writing the rebuild needs the Iceberg jar this sandbox
+            # lacks, so stop here instead of completing the write)
+            raise RebuildAttempted()
+
+        with pytest.raises(RebuildAttempted):
+            resume_or_run(spark, out_dir, "triples", build)  # verify_checksum=False
+    finally:
+        spark.conf.unset("spark.sql.catalog.rex")
+    # without the catalog conf there is no fallback, and the default
+    # non-verifying read serves the manifest-complete stage as before
+    served = resume_or_run(spark, out_dir, "triples", lambda: df)
+    assert [r["pred"] for r in served.collect()] == ["stale"]
+
+
 def test_iceberg_table_idents_no_collisions():
     # ADVICE r1 (medium): two pipelines with different out_dirs must not
     # share catalog tables for a common stage name.
