@@ -49,13 +49,11 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents, rebalanced to session parallelism — for Python-stage
     queries: the small-SF parquet is a single split, which would pin the
-    whole pandas stage to one core (at real scale the source already has
-    thousands of splits and this is a no-op)."""
-    d = _docs(spark, sf_dir)
-    target = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < target:
-        d = d.repartition(target)
-    return d
+    whole pandas stage to one core (at real scale the file listing
+    short-circuits this to a no-op — rex_spark.partitions)."""
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    return rebalance_to_parallelism(_docs(spark, sf_dir))
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -153,14 +153,12 @@ def minhash_lsh_candidates(
             if ids:
                 yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
 
-    sig_in = docs.select(id_col, text_col)
+    from ..partitions import rebalance_to_parallelism
+
     # spread the Python signature work across the session's cores when the
     # source has few partitions (a single parquet file at small SF); at
-    # real scale the input already has thousands of partitions and this
-    # no-ops
-    target = spark.sparkContext.defaultParallelism
-    if sig_in.rdd.getNumPartitions() < target:
-        sig_in = sig_in.repartition(target)
+    # real scale the file listing short-circuits this to a no-op
+    sig_in = rebalance_to_parallelism(docs.select(id_col, text_col))
     # materialize signatures ONCE: both self-join legs read the blocks
     # instead of re-running the signature stage (durable when a
     # checkpoint dir is configured — see rex_spark.checkpoint)
@@ -298,10 +296,11 @@ def simhash_candidates(
     def sh(texts: pd.Series) -> pd.Series:
         return pd.Series([simhash64(str(t)) for t in texts], dtype="int64")
 
-    sh_in = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
-    target = spark.sparkContext.defaultParallelism
-    if sh_in.rdd.getNumPartitions() < target:
-        sh_in = sh_in.repartition(target)
+    from ..partitions import rebalance_to_parallelism
+
+    sh_in = rebalance_to_parallelism(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    )
     # one Python pass, materialized once (r1 unioned n_blocks selects that
     # EACH recomputed the simhash UDF, then the self-join doubled it)
     from ..checkpoint import materialize

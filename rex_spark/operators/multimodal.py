@@ -511,6 +511,127 @@ _FRAME_SCHEMA = T.StructType(
 )
 
 
+def media_info(payload: bytes) -> dict:
+    """Header-level metadata for a media payload — fills the
+    MEDIA_META_SCHEMA fields (media_type, format, width, height,
+    duration_ms) from plain header bytes. Works for COMPRESSED formats
+    too (PNG/GIF/JPEG dimensions live in uncompressed headers even
+    though pixel decode needs codec libraries): BMP/PPM/PNG/GIF/JPEG
+    images, WAV audio, AVI video. Unknown payloads come back as
+    (None, 'unknown', ...) rather than raising — metadata extraction
+    over 100 TB must not die on one odd blob."""
+    b = bytes(payload)
+    out = {"media_type": None, "format": "unknown",
+           "width": None, "height": None, "duration_ms": None}
+    try:
+        if b[:2] == b"BM" and len(b) >= 26:
+            out.update(media_type="image", format="bmp",
+                       width=int.from_bytes(b[18:22], "little", signed=True),
+                       height=abs(int.from_bytes(b[22:26], "little", signed=True)))
+        elif b[:2] in (b"P6", b"P3"):
+            img_dims = _ppm_header_dims(b)
+            out.update(media_type="image", format="ppm",
+                       width=img_dims[0], height=img_dims[1])
+        elif b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR is mandatory-first: width/height big-endian at 16/20
+            out.update(media_type="image", format="png",
+                       width=int.from_bytes(b[16:20], "big"),
+                       height=int.from_bytes(b[20:24], "big"))
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            out.update(media_type="image", format="gif",
+                       width=int.from_bytes(b[6:8], "little"),
+                       height=int.from_bytes(b[8:10], "little"))
+        elif b[:2] == b"\xff\xd8":
+            out.update(media_type="image", format="jpeg")
+            dims = _jpeg_sof_dims(b)
+            if dims:
+                out.update(width=dims[0], height=dims[1])
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            info = wav_info(b)
+            out.update(media_type="audio", format="wav",
+                       duration_ms=info["duration_ms"])
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            info = avi_info(b)
+            out.update(media_type="video", format="avi",
+                       width=info["width"], height=info["height"],
+                       duration_ms=info["duration_ms"])
+    except (ValueError, IndexError):
+        pass  # malformed header: keep whatever fields were parsed as None
+    return out
+
+
+def _ppm_header_dims(b: bytes) -> tuple[int, int]:
+    pos, fields = 2, []
+    while len(fields) < 2 and pos < len(b):
+        while pos < len(b) and b[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(b) and b[pos : pos + 1] == b"#":
+            while pos < len(b) and b[pos] not in (0x0A, 0x0D):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(b) and not b[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            break
+        fields.append(int(b[start:pos]))
+    if len(fields) < 2:
+        raise ValueError("PPM header truncated")
+    return fields[0], fields[1]
+
+
+def _jpeg_sof_dims(b: bytes) -> tuple[int, int] | None:
+    """Walk JPEG marker segments to the first SOF0/1/2 frame header
+    (height/width big-endian at offsets 5/7 into the segment)."""
+    pos = 2
+    while pos + 4 <= len(b):
+        if b[pos] != 0xFF:
+            return None  # lost sync
+        marker = b[pos + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # standalone markers, no length field
+            continue
+        seg_len = int.from_bytes(b[pos + 2 : pos + 4], "big")
+        if marker in (0xC0, 0xC1, 0xC2) and pos + 9 <= len(b):
+            return (
+                int.from_bytes(b[pos + 7 : pos + 9], "big"),
+                int.from_bytes(b[pos + 5 : pos + 7], "big"),
+            )
+        if marker == 0xDA:  # start of scan: entropy data follows
+            return None
+        pos += 2 + seg_len
+    return None
+
+
+_MEDIA_INFO_SCHEMA = T.StructType(
+    [T.StructField("doc_id", T.StringType(), False)] + list(MEDIA_META_SCHEMA.fields)
+)
+
+
+def extract_media_info(
+    docs: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """payload -> typed MEDIA_META_SCHEMA row per document (header walk
+    only — no pixel/sample decode, so it also covers compressed
+    formats). Arrow-batched mapInPandas; one bad blob yields an
+    'unknown' row, never a dead task."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list] = {f.name: [] for f in _MEDIA_INFO_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                info = media_info(bytes(payload))
+                cols["doc_id"].append(str(doc_id))
+                for k in ("media_type", "format", "width", "height", "duration_ms"):
+                    cols[k].append(info[k])
+            if cols["doc_id"]:
+                yield pd.DataFrame(cols)
+
+    return docs.select(id_col, payload_col).mapInPandas(fn, _MEDIA_INFO_SCHEMA)
+
+
 def avi_info(payload: bytes) -> dict:
     """RIFF/AVI container metadata without decoding frames: walk the
     nested LIST chunks to the ``avih`` main header (pure byte walking,

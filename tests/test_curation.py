@@ -386,6 +386,49 @@ def test_avi_header_and_frame_sampling(spark):
     assert sorted(got["x"]) == [0, 4, 8, 12]  # declared-count fallback
 
 
+def test_media_info_header_metadata(spark):
+    # header-level width/height/duration for COMPRESSED formats too —
+    # dimensions live in uncompressed headers even when pixels don't
+    from rex_spark.operators.multimodal import (
+        encode_bmp,
+        encode_ppm,
+        encode_wav_pcm16,
+        extract_media_info,
+        media_info,
+    )
+
+    png = (b"\x89PNG\r\n\x1a\n" + (13).to_bytes(4, "big") + b"IHDR"
+           + (640).to_bytes(4, "big") + (480).to_bytes(4, "big") + b"\x08\x02\x00\x00\x00")
+    gif = b"GIF89a" + (320).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00"
+    # minimal JPEG: SOI + APP0 (empty) + SOF0 with h=99, w=77
+    sof = (b"\xff\xc0" + (11).to_bytes(2, "big") + b"\x08"
+           + (99).to_bytes(2, "big") + (77).to_bytes(2, "big") + b"\x01\x11\x00\x00")
+    jpeg = b"\xff\xd8" + b"\xff\xe0" + (2).to_bytes(2, "big") + sof
+    cases = {
+        "bmp": (encode_bmp(_checker(5, 7)), ("image", 7, 5, None)),
+        "ppm": (encode_ppm(_checker(3, 9)), ("image", 9, 3, None)),
+        "png": (png, ("image", 640, 480, None)),
+        "gif": (gif, ("image", 320, 200, None)),
+        "jpeg": (jpeg, ("image", 77, 99, None)),
+        "wav": (encode_wav_pcm16(np.zeros(8000, np.float32), 16_000),
+                ("audio", None, None, 500)),
+        "avi": (_make_avi(50, 40_000, 128, 96), ("video", 128, 96, 2000)),
+        "unknown": (b"nonsense", (None, None, None, None)),
+    }
+    for fmt, (payload, (mt, w, h, dur)) in cases.items():
+        info = media_info(payload)
+        assert info["format"] == fmt, (fmt, info)
+        assert (info["media_type"], info["width"], info["height"],
+                info["duration_ms"]) == (mt, w, h, dur), (fmt, info)
+    # distributed stage: typed MEDIA_META_SCHEMA rows
+    df = spark.createDataFrame(
+        [(k, bytearray(v)) for k, (v, _) in cases.items()], ["doc_id", "payload"]
+    )
+    rows = {r["doc_id"]: r for r in extract_media_info(df).collect()}
+    assert rows["png"]["width"] == 640 and rows["avi"]["duration_ms"] == 2000
+    assert rows["unknown"]["format"] == "unknown"
+
+
 def test_format_sniffing(spark):
     # JVM-side magic-byte sniff: one branch per supported/known format
     from rex_spark.operators.multimodal import (
