@@ -72,3 +72,31 @@ def test_two_phase_plan_has_two_aggregates(spark):
     # the rewrite must produce two separate aggregate exchanges: one keyed
     # by (repo, _salt), one keyed by repo
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
+
+def test_rebalance_short_circuits_on_file_listing(spark, tmp_path, monkeypatch):
+    # at real scale (file count >= parallelism) the rebalance guard must
+    # return the frame UNCHANGED without instantiating the RDD conversion
+    # (r2/r3 carried nit); at test scale (single file) it repartitions
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    p = str(tmp_path / "many")
+    spark.range(10_000).repartition(target + 8).write.parquet(p)
+    many = spark.read.parquet(p)
+    assert len(many.inputFiles()) >= target
+
+    DF = type(many)
+    orig_rdd = DF.rdd
+
+    def boom(self):
+        raise AssertionError("rdd materialized despite a large file listing")
+
+    monkeypatch.setattr(DF, "rdd", property(boom))
+    out = rebalance_to_parallelism(many)
+    monkeypatch.setattr(DF, "rdd", orig_rdd)
+    assert out is many  # unchanged, no repartition shuffle
+
+    p1 = str(tmp_path / "one")
+    spark.range(100).coalesce(1).write.parquet(p1)
+    one = spark.read.parquet(p1)
+    assert rebalance_to_parallelism(one).rdd.getNumPartitions() == target
