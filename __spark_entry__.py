@@ -395,6 +395,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_a", "doc_b", F.col("hamming").cast("bigint").alias("hamming"))
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TF-IDF top-5 terms per doc (operators/textstats.py) — whitespace
+    # terms, smooth idf, 6-dp rounded score; deterministic tie order
+    # (score DESC, term ASC). Pure JVM pipeline; the oracle mirrors the
+    # formula exactly.
+    from rex_spark.operators.textstats import tfidf_top_terms
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return tfidf_top_terms(d, top_k=5)
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rex_spark.operators.textstats import detect_language
 
@@ -1080,6 +1091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
         "lang_id": q_lang_id,
+        "tfidf_topterms": q_tfidf_topterms,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "chunked_mentions": q_chunked_mentions,
@@ -1395,6 +1407,30 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(comp.comp, {normalize_sql_duckdb('raw.mention')}) AS canonical
             FROM (SELECT DISTINCT mention FROM mentions) raw
             LEFT JOIN comp ON comp.node = {normalize_sql_duckdb('raw.mention')}
+        """,
+        "tfidf_topterms": """
+            WITH t AS (
+              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf
+              FROM t WHERE len(term) > 0 GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*) AS n FROM documents),
+            scored AS (
+              SELECT tf.doc_id, tf.term, tf.tf,
+                     round(tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0), 6)
+                       AS score
+              FROM tf JOIN dfreq USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, score, rank FROM (
+              SELECT *,
+                     CAST(row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, term
+                     ) AS BIGINT) AS rank
+              FROM scored
+            ) WHERE rank <= 5
         """,
         "lang_id": f"""
             WITH prof(lang, gram) AS (VALUES {prof_values}),

@@ -62,6 +62,7 @@ def main() -> None:
         "ann_ivf_topk",
         "quality_stats",
         "lang_id",
+        "tfidf_topterms",
         "connected_components",
         "chunked_mentions",
         "coref_candidates",

@@ -11,7 +11,7 @@ import zlib
 
 import numpy as _np
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -195,4 +195,51 @@ def document_fingerprint(text: str, window: int = 8) -> int:
     return min(
         zlib.crc32(text[i : i + window].encode("utf-8"))
         for i in range(len(text) - window + 1)
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document — (doc_id, term, tf, score, rank).
+
+    Pure JVM Column pipeline (no reference counterpart; standard
+    curation primitive for keyword filtering / topic binning of a
+    training corpus): terms = whitespace tokens; tf = raw in-doc count;
+    idf = ln((N + 1) / (df + 1)) + 1 (the smooth sklearn form — never
+    negative, never divides by zero); score rounded to 6 dp so the
+    cross-engine ordering (score DESC, term ASC) is deterministic.
+
+    Scale shape: two algebraic groupBys (doc-term tf, term df — both
+    map-side combined), the corpus size N rides as a broadcast 1-row
+    aggregate (no driver collect), tf |><| df joins on term (AQE
+    broadcasts the vocabulary side when it is small), and the top-k
+    window partitions by doc_id — no global sort anywhere.
+    """
+    terms = docs.select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    ).where(F.length("term") > 0)
+    tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("_n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= top_k)
+        .select(id_col, "term", "tf", "score", "rank")
     )

@@ -321,6 +321,31 @@ def test_wav_roundtrip_and_channels():
     assert np.abs(got2).max() <= 1.0 / 32767
 
 
+def test_tfidf_top_terms_golden(spark):
+    from math import log
+
+    from rex_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.createDataFrame(
+        [("a", "x x y common"), ("b", "y z common"), ("c", "common common")],
+        ["doc_id", "content"],
+    )
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["score"])
+        for r in tfidf_top_terms(docs, top_k=2).collect()
+    }
+    idf = lambda df: log(4.0 / (df + 1.0)) + 1.0  # N=3, smooth  # noqa: E731
+    # doc a: x tf=2 df=1 -> 2*idf(1); y tf=1 df=2; common tf=1 df=3
+    assert got[("a", 1)] == ("x", 2, round(2 * idf(1), 6))
+    assert got[("a", 2)] == ("y", 1, round(idf(2), 6))
+    # doc b: z (df=1) outscores y (df=2) and common (df=3)
+    assert got[("b", 1)] == ("z", 1, round(idf(1), 6))
+    assert got[("b", 2)] == ("y", 1, round(idf(2), 6))
+    # doc c: only 'common' exists -> a single row despite top_k=2
+    assert got[("c", 1)] == ("common", 2, round(2 * idf(3), 6))
+    assert ("c", 2) not in got
+
+
 def test_multimodal_plumbing(spark):
     from rex_spark.operators.multimodal import encode_bmp
 
