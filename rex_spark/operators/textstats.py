@@ -217,7 +217,14 @@ def tfidf_top_terms(
     map-side combined), the corpus size N rides as a broadcast 1-row
     aggregate (no driver collect), tf |><| df joins on term (AQE
     broadcasts the vocabulary side when it is small), and the top-k
-    window partitions by doc_id — no global sort anywhere.
+    window partitions by doc_id with Spark's rank-limit pushdown
+    (WindowGroupLimit partial+final — each task keeps k rows per doc,
+    never the full term list). The df branch deliberately RE-SCANS the
+    corpus instead of checkpointing the doc-term tf frame: tf has one
+    row per distinct (doc, term) — typically larger than the corpus
+    itself — so materializing it would cost more I/O than the second
+    columnar scan; callers that cache ``docs`` get subtree reuse for
+    free.
     """
     terms = docs.select(
         F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
