@@ -1408,9 +1408,10 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT DISTINCT mention FROM mentions) raw
             LEFT JOIN comp ON comp.node = {normalize_sql_duckdb('raw.mention')}
         """,
-        "tfidf_topterms": """
+        "tfidf_topterms": r"""
             WITH t AS (
-              SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+              SELECT doc_id, unnest(string_split_regex(text, '\s+')) AS term
+              FROM documents
             ),
             tf AS (
               SELECT doc_id, term, count(*) AS tf
@@ -1655,6 +1656,13 @@ def oracle_sql() -> dict[str, str]:
             FROM expanded
         """,
         "media_meta": """
+            -- sniff twin is BYTE-based like the engine (ADVICE r4): the
+            -- RIFF form type lives at BYTE offset 8, so a multibyte char
+            -- inside the first 8 characters would make character-based
+            -- substring(text, 9, 4) disagree with the engine's byte walk;
+            -- hex(encode(text)) exposes exact byte offsets (byte i ->
+            -- hex chars 2i-1..2i), mirroring the engine's F.hex sniff.
+            -- ASCII prefixes (LIKE 'BM%' etc.) are byte-exact already.
             SELECT doc_id,
                    CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS payload_bytes,
                    sha256(text) AS payload_sha256,
@@ -1662,8 +1670,12 @@ def oracle_sql() -> dict[str, str]:
                      WHEN text LIKE 'BM%' THEN 'bmp'
                      WHEN text LIKE 'P6%' OR text LIKE 'P3%' THEN 'ppm'
                      WHEN text LIKE 'GIF87a%' OR text LIKE 'GIF89a%' THEN 'gif'
-                     WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'WAVE' THEN 'wav'
-                     WHEN text LIKE 'RIFF%' AND substring(text, 9, 4) = 'AVI ' THEN 'avi'
+                     WHEN text LIKE 'RIFF%'
+                          AND substring(hex(encode(text)), 17, 8) = '57415645'
+                       THEN 'wav'
+                     WHEN text LIKE 'RIFF%'
+                          AND substring(hex(encode(text)), 17, 8) = '41564920'
+                       THEN 'avi'
                      WHEN text LIKE 'ID3%' THEN 'mp3'
                      WHEN text LIKE 'OggS%' THEN 'ogg'
                      WHEN text LIKE 'fLaC%' THEN 'flac'

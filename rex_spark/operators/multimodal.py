@@ -160,7 +160,15 @@ def _decode_ppm(b: bytes) -> np.ndarray:
         vals = b[pos:].split()
         if len(vals) < n:
             raise ValueError(f"PPM raster truncated: need {n} samples, have {len(vals)}")
-        flat = np.array([int(v) for v in vals[:n]], dtype=np.uint8)
+        # validate BEFORE the uint8 cast: out-of-range ascii samples must
+        # raise like every other malformed-input path, not wrap mod 256
+        samples = np.array([int(v) for v in vals[:n]], dtype=np.int64)
+        if ((samples < 0) | (samples > maxval)).any():
+            bad = samples[(samples < 0) | (samples > maxval)][0]
+            raise ValueError(
+                f"PPM P3 sample {bad} out of range [0, {maxval}]"
+            )
+        flat = samples.astype(np.uint8)
     return flat.reshape(height, width, 3).copy()
 
 
@@ -621,8 +629,13 @@ def extract_media_info(
             cols: dict[str, list] = {f.name: [] for f in _MEDIA_INFO_SCHEMA.fields}
             for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
                 if payload is None:
-                    continue
-                info = media_info(bytes(payload))
+                    # NULL payload still yields a row (ADVICE r4): the
+                    # docstring promise is one row per input document so
+                    # downstream joins never lose doc_ids
+                    info = {"media_type": None, "format": "unknown",
+                            "width": None, "height": None, "duration_ms": None}
+                else:
+                    info = media_info(bytes(payload))
                 cols["doc_id"].append(str(doc_id))
                 for k in ("media_type", "format", "width", "height", "duration_ms"):
                     cols[k].append(info[k])

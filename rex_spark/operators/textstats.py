@@ -208,7 +208,8 @@ def tfidf_top_terms(
 
     Pure JVM Column pipeline (no reference counterpart; standard
     curation primitive for keyword filtering / topic binning of a
-    training corpus): terms = whitespace tokens; tf = raw in-doc count;
+    training corpus): terms = ``\\s+``-delimited tokens (tabs/newlines
+    split too, empties dropped — ADVICE r4); tf = raw in-doc count;
     idf = ln((N + 1) / (df + 1)) + 1 (the smooth sklearn form — never
     negative, never divides by zero); score rounded to 6 dp so the
     cross-engine ordering (score DESC, term ASC) is deterministic.
@@ -227,7 +228,7 @@ def tfidf_top_terms(
     free.
     """
     terms = docs.select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+        F.col(id_col), F.explode(F.split(F.col(text_col), r"\s+")).alias("term")
     ).where(F.length("term") > 0)
     tf = terms.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))

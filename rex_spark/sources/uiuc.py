@@ -110,7 +110,7 @@ UIUC_SCHEMA = T.StructType(
 
 
 def read_uiuc(
-    spark: SparkSession, path: str, max_file_bytes: int = 1 << 30
+    spark: SparkSession, path: str, max_file_bytes: int | None = 1 << 30
 ) -> DataFrame:
     """Distributed reader: one row per labeled sentence.
 
@@ -135,6 +135,14 @@ def read_uiuc(
     surfacing mid-job as an executor OOM or a binaryFile limit error
     halfway through a 100 TB run. For single-huge-file corpora, split
     the file or use a splittable line reader.
+
+    NOTE (ADVICE r4): that fail-fast is an EAGER Spark action (a
+    metadata-only ``take(1)``) at DataFrame-definition time — the one
+    deliberate exception to this module's lazy contract, and it re-runs
+    the file listing the later scan repeats. Pass
+    ``max_file_bytes=None`` to skip the guard and keep the read fully
+    lazy (the binaryFile source's own ~2 GB failure then surfaces at
+    execution time instead).
     """
     import re
 
@@ -143,21 +151,23 @@ def read_uiuc(
     _line_re = re.compile("\r\n|\r|\n")
 
     raw0 = spark.read.format("binaryFile").load(path)
-    # fail fast on oversized files: `length` comes from the file status
-    # (listing metadata), so this scans no content
-    big = (
-        raw0.select("path", "length")
-        .where(F.col("length") > max_file_bytes)
-        .orderBy(F.desc("length"))
-        .take(1)
-    )
-    if big:
-        raise ValueError(
-            f"read_uiuc: {big[0]['path']} is {big[0]['length']} bytes, over "
-            f"max_file_bytes={max_file_bytes}. The whole-file reader parses "
-            "each file on ONE task (binaryFile caps at ~2GB); split the "
-            "corpus file or raise max_file_bytes (< 2GB)."
+    if max_file_bytes is not None:
+        # fail fast on oversized files: `length` comes from the file
+        # status (listing metadata), so this scans no content — but it
+        # IS an eager job (see docstring note)
+        big = (
+            raw0.select("path", "length")
+            .where(F.col("length") > max_file_bytes)
+            .orderBy(F.desc("length"))
+            .take(1)
         )
+        if big:
+            raise ValueError(
+                f"read_uiuc: {big[0]['path']} is {big[0]['length']} bytes, over "
+                f"max_file_bytes={max_file_bytes}. The whole-file reader parses "
+                "each file on ONE task (binaryFile caps at ~2GB); split the "
+                "corpus file or raise max_file_bytes (< 2GB)."
+            )
     raw = raw0.select(F.col("path").alias("file"), F.col("content"))
 
     def fn(batches):

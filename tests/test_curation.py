@@ -454,6 +454,38 @@ def test_media_info_header_metadata(spark):
     assert rows["unknown"]["format"] == "unknown"
 
 
+def test_media_info_null_payload_yields_unknown_row(spark):
+    # ADVICE r4: a NULL payload must still emit an 'unknown' row — one
+    # row per input document, downstream joins never lose doc_ids
+    from rex_spark.operators.multimodal import extract_media_info
+
+    df = spark.createDataFrame(
+        [("has", bytearray(b"nonsense")), ("null_doc", None)],
+        "doc_id string, payload binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_media_info(df).collect()}
+    assert set(rows) == {"has", "null_doc"}
+    r = rows["null_doc"]
+    assert r["format"] == "unknown" and r["media_type"] is None
+    assert r["width"] is None and r["duration_ms"] is None
+
+
+def test_ppm_p3_out_of_range_sample_raises():
+    # ADVICE r4: out-of-range ascii samples raise like every other
+    # malformed-input path instead of silently wrapping mod 256
+    import pytest
+
+    from rex_spark.operators.multimodal import decode_image
+
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P3\n1 1\n255\n999 0 0")
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P3\n1 1\n255\n-1 0 0")
+    # in-range but above a reduced maxval must also raise
+    with pytest.raises(ValueError, match="out of range"):
+        decode_image(b"P3\n1 1\n100\n200 0 0")
+
+
 def test_format_sniffing(spark):
     # JVM-side magic-byte sniff: one branch per supported/known format
     from rex_spark.operators.multimodal import (

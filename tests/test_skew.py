@@ -73,28 +73,44 @@ def test_two_phase_plan_has_two_aggregates(spark):
     # by (repo, _salt), one keyed by repo
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
 
-def test_rebalance_short_circuits_on_file_listing(spark, tmp_path, monkeypatch):
-    # at real scale (file count >= parallelism) the rebalance guard must
-    # return the frame UNCHANGED without instantiating the RDD conversion
-    # (r2/r3 carried nit); at test scale (single file) it repartitions
+def test_rebalance_short_circuits_on_plan_stats(spark, tmp_path, monkeypatch):
+    # at real scale (relation size >= target x maxPartitionBytes — the
+    # scan cannot split into fewer partitions than cores) the rebalance
+    # guard must return the frame UNCHANGED from the optimizer's one
+    # size statistic: no file LISTING (VERDICT r4 — inputFiles() on a
+    # 100 TB table materializes millions of paths on the driver) and no
+    # RDD conversion (r2/r3 carried nit); at test scale (single small
+    # file) it repartitions
     from rex_spark.partitions import rebalance_to_parallelism
 
     target = spark.sparkContext.defaultParallelism
     p = str(tmp_path / "many")
-    spark.range(10_000).repartition(target + 8).write.parquet(p)
+    spark.range(200_000).repartition(8).write.parquet(p)
     many = spark.read.parquet(p)
-    assert len(many.inputFiles()) >= target
 
-    DF = type(many)
-    orig_rdd = DF.rdd
+    # shrink maxPartitionBytes so this small fixture has the at-scale
+    # shape (size >> target * max split size)
+    old_split = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "1k")
+    try:
+        DF = type(many)
+        orig_rdd = DF.rdd
+        orig_files = DF.inputFiles
 
-    def boom(self):
-        raise AssertionError("rdd materialized despite a large file listing")
+        def boom(self):
+            raise AssertionError("rdd materialized despite a large size stat")
 
-    monkeypatch.setattr(DF, "rdd", property(boom))
-    out = rebalance_to_parallelism(many)
-    monkeypatch.setattr(DF, "rdd", orig_rdd)
-    assert out is many  # unchanged, no repartition shuffle
+        def boom_files(self):
+            raise AssertionError("full file listing on the rebalance path")
+
+        monkeypatch.setattr(DF, "rdd", property(boom))
+        monkeypatch.setattr(DF, "inputFiles", boom_files)
+        out = rebalance_to_parallelism(many)
+        monkeypatch.setattr(DF, "rdd", orig_rdd)
+        monkeypatch.setattr(DF, "inputFiles", orig_files)
+        assert out is many  # unchanged, no repartition shuffle
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old_split)
 
     p1 = str(tmp_path / "one")
     spark.range(100).coalesce(1).write.parquet(p1)
