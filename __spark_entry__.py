@@ -1068,6 +1068,39 @@ def q_constraint_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return constraint_pass(cand, type_map, kb)
 
 
+def q_constrain_triples_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # VERDICT r4 Next #6: the PER-OCCURRENCE constrain_triples
+    # composition (operators/constraints.py:94) oracle-pinned end to
+    # end. Candidate rows keep (doc_id, q_pos, a_pos) lineage; noise =
+    # a reversed copy of every occurrence (type licensing drops the
+    # non-palindromic-type reverses row-wise); the functional winner is
+    # decided at the EDGE level (occurrence-count support, obj-asc tie
+    # break) and applied back by semi-join, so every surviving edge
+    # keeps ALL its doc occurrences — the lineage-preservation property
+    # the aggregate-path constraint_filter entry cannot witness.
+    from rex_spark.operators.constraints import constrain_triples
+
+    lab = _labeled_pairs(spark, sf_dir).where(F.col("label") != NO_RELATION)
+    base = lab.select(
+        "doc_id",
+        F.col("q_pos").cast("bigint").alias("q_pos"),
+        F.col("a_pos").cast("bigint").alias("a_pos"),
+        F.col("query_w").alias("subj"),
+        F.col("label").alias("pred"),
+        F.col("answer_w").alias("obj"),
+    )
+    rev = base.select(
+        "doc_id", "q_pos", "a_pos",
+        F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"),
+    )
+    occ = base.unionByName(rev)
+    type_map = spark.createDataFrame(
+        [(w, w[:1]) for w in ENTITY_WORDS], "entity string, etype string"
+    )
+    out = constrain_triples(occ, _kb_df(spark), type_map)
+    return out.select("doc_id", "q_pos", "a_pos", "subj", "pred", "obj")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -1113,6 +1146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "content_equality": q_content_equality,
         "dep_paths": q_dep_paths,
         "constraint_filter": q_constraint_filter,
+        "constrain_triples_occurrences": q_constrain_triples_occurrences,
         "skip_grams": q_skip_grams,
         "kg_pagerank": q_kg_pagerank,
         "kg_khop": q_kg_khop,
@@ -2069,6 +2103,63 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT subj, pred, obj, support
             FROM ranked WHERE NOT isf OR rn = 1
+        """,
+        "constrain_triples_occurrences": f"""
+            WITH occ0 AS (
+              SELECT doc_id, q_pos, a_pos,
+                     query_w AS subj, label AS pred, answer_w AS obj
+              FROM ({_SQL_LABELED}) WHERE label <> '{NO_RELATION}'
+            ),
+            occ AS (
+              SELECT * FROM occ0
+              UNION ALL
+              SELECT doc_id, q_pos, a_pos, obj, pred, subj FROM occ0
+            ),
+            tm(entity, etype) AS (
+              VALUES {",".join(f"({_q(w)},{_q(w[0])})" for w in ENTITY_WORDS)}
+            ),
+            kb(subj, obj, rel) AS {_SQL_KB},
+            lic AS (
+              SELECT DISTINCT kb.rel AS pred, st.etype AS subj_type,
+                     ot.etype AS obj_type
+              FROM kb JOIN tm st ON kb.subj = st.entity
+                      JOIN tm ot ON kb.obj = ot.entity
+            ),
+            typed AS (
+              SELECT o.*, st.etype AS subj_type, ot.etype AS obj_type
+              FROM occ o LEFT JOIN tm st ON o.subj = st.entity
+                         LEFT JOIN tm ot ON o.obj = ot.entity
+            ),
+            kept AS (
+              SELECT doc_id, q_pos, a_pos, subj, pred, obj FROM typed t
+              WHERE t.subj_type IS NULL OR t.obj_type IS NULL
+                 OR EXISTS (SELECT 1 FROM lic l
+                            WHERE l.pred = t.pred
+                              AND l.subj_type = t.subj_type
+                              AND l.obj_type = t.obj_type)
+            ),
+            edges AS (
+              SELECT subj, pred, obj, count(*) AS support
+              FROM kept GROUP BY 1, 2, 3
+            ),
+            fr AS (
+              SELECT rel FROM (
+                SELECT rel, subj, count(DISTINCT obj) AS n
+                FROM kb GROUP BY 1, 2
+              ) GROUP BY rel HAVING max(n) = 1
+            ),
+            winners AS (
+              SELECT subj, pred, obj FROM (
+                SELECT e.*,
+                       row_number() OVER (PARTITION BY subj, pred
+                                          ORDER BY support DESC, obj ASC) AS rn,
+                       pred IN (SELECT rel FROM fr) AS isf
+                FROM edges e
+              ) WHERE NOT isf OR rn = 1
+            )
+            SELECT k.doc_id, k.q_pos, k.a_pos, k.subj, k.pred, k.obj
+            FROM kept k JOIN winners w
+              ON k.subj = w.subj AND k.pred = w.pred AND k.obj = w.obj
         """,
         "dep_paths": f"""
             WITH RECURSIVE

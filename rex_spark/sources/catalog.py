@@ -106,8 +106,11 @@ def _read_stage_ex(spark: SparkSession, path: str, stage: str) -> tuple[DataFram
 
 
 def table_checksum(df: DataFrame) -> int:
-    """Order-insensitive content checksum: sum of per-row murmur3 over all
-    columns (cast to string for type-stability).
+    """Order-insensitive content checksum: sum of per-row murmur3 over
+    all NATIVE columns (must stay formula-identical to ``write_stage``'s
+    manifest checksum — murmur3 recurses into arrays/structs and folds
+    NULLs deterministically, and skipping the r4 cast-to-string makes
+    this pass cheap enough to run per stage; see write_stage).
 
     The per-row hash is int32 but the running sum is accumulated as
     decimal(38,0): a plain BIGINT sum can exceed int64 at ~2^33+ rows,
@@ -115,8 +118,9 @@ def table_checksum(df: DataFrame) -> int:
     non-ANSI silently wraps, diverging from any later re-verification).
     Same fix as the CC round-checksum (operators/linking.py).
     """
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns]
-    row = df.select(F.hash(*cols).cast("decimal(38,0)").alias("h"))
+    row = df.select(
+        F.hash(*[F.col(c) for c in df.columns]).cast("decimal(38,0)").alias("h")
+    )
     total = row.agg(F.sum("h").alias("s")).collect()[0]["s"]
     return int(total or 0)
 
@@ -158,7 +162,18 @@ def write_stage(
     # (lineage groupBy, count(), checksum agg) re-scanned a
     # corpus-sized stage table three times — at 100 TB that is two full
     # scans of pure overhead per stage.
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in back.columns]
+    #
+    # The per-row hash runs on NATIVE columns (r5): Spark's murmur3
+    # `hash` recurses into arrays/structs and folds NULLs
+    # deterministically on its own, and the r4 cast-every-column-to-
+    # string formulation made this pass the single most expensive step
+    # of a staged run (13.6 s on the 400k-doc candidates table at 16
+    # cores — stringifying the feature arrays cost more than writing
+    # them). The hash-SUM checksum stays order- and partitioning-
+    # invariant either way. Checksum values differ from manifests
+    # written before this change; a resume over a pre-r5 manifest
+    # re-verifies and rebuilds, which is the safe direction.
+    cols = [F.col(c) for c in back.columns]
     per_part = (
         back.select(
             F.spark_partition_id().alias("pid"),

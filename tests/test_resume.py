@@ -85,12 +85,13 @@ def test_checksum_accumulates_in_decimal_not_bigint(spark):
     # ANSI mode. table_checksum must accumulate in decimal(38,0).
     from pyspark.sql import functions as F
 
-    # 1) semantics: matches an unbounded-python-int sum of the same hashes
+    # 1) semantics: matches an unbounded-python-int sum of the same
+    # hashes (r5: native-column murmur3, no cast-to-string — formula
+    # shared with write_stage's manifest checksum)
     df = spark.createDataFrame(
         [("a", 1), ("b", 2), (None, 3)], ["s", "i"]
     )
-    cols = [F.coalesce(F.col(c).cast("string"), F.lit("\x00null")) for c in df.columns]
-    rows = df.select(F.hash(*cols).alias("h")).collect()
+    rows = df.select(F.hash(*[F.col(c) for c in df.columns]).alias("h")).collect()
     assert table_checksum(df) == sum(int(r["h"]) for r in rows)
 
     # 2) overflow resistance: the decimal(38,0) accumulation pattern

@@ -18,11 +18,27 @@ Methodology notes (all required for a fair measurement on this VM):
   - full-shape warmup (5% sample through the whole plan) so codegen,
     python-worker spawn and broadcast build are excluded from timing.
 
-Two measured jobs:
+Three measured jobs:
   - jvm:  lexicon mention-pair extraction + broadcast KB join (zero
           Python — the distant-only production path);
   - featurized: the full fused pandas pipeline (lex + candgen +
-          featurize + distant label) — the learned-extraction path.
+          featurize + distant label) — the learned-extraction path;
+  - staged: a COLD materialize_kg run (candidates/labeled/triples/
+          constrained/canonical stage tables + manifests + checksums +
+          content-equality verify) — the closest analog of the real
+          100 TB job, write-heavy by design (VERDICT r4 Next #5; gate
+          advisory >= 0.7 given durability I/O does not parallelize
+          like compute).
+
+Staged-job storage note: this VM has ONE virtual disk (~470 MB/s),
+shared by every core — stage-table writes serialize on it, so a
+disk-backed staged run measures the box's storage wall, not the
+pipeline's scaling (a real cluster adds a disk with every node; HDFS/
+object-store write bandwidth scales with N). Staged stage dirs
+therefore default to /dev/shm when present (REX_SCALE_STAGED_DIR
+overrides), and ``io_reference`` measures the concurrent per-writer
+disk bandwidth retention LOW->HIGH alongside the CPU probe so a
+disk-backed attempt's ceiling is on the record.
 
 Usage:
   python tools/bench_scaling.py                 # orchestrate all runs
@@ -39,6 +55,7 @@ import time
 
 N_DOCS_JVM = int(os.environ.get("REX_SCALE_DOCS_JVM", "2000000"))
 N_DOCS_PY = int(os.environ.get("REX_SCALE_DOCS_PY", "400000"))
+N_DOCS_STAGED = int(os.environ.get("REX_SCALE_DOCS_STAGED", "800000"))
 LOW = int(os.environ.get("REX_SCALE_LOW", "4"))
 HIGH = int(os.environ.get("REX_SCALE_HIGH", "16"))
 PARTITIONS = int(os.environ.get("REX_SCALE_PARTITIONS", "160"))
@@ -57,7 +74,7 @@ def worker(job: str, cpus: int) -> None:
     spark = get_spark(f"rex-scale-{job}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
-    n_docs = N_DOCS_JVM if job == "jvm" else N_DOCS_PY
+    n_docs = {"jvm": N_DOCS_JVM, "staged": N_DOCS_STAGED}.get(job, N_DOCS_PY)
     conf = CorpusConfig(n_docs=n_docs, n_entities=400, n_kb=800, n_repos=100, seed=42)
     kb = kb_df(spark, conf)
     lex = make_lexicon(conf)
@@ -82,6 +99,38 @@ def worker(job: str, cpus: int) -> None:
             n = plan.count()
             walls.append(time.perf_counter() - t0)
         wall = min(walls)  # min-of-N: VM background noise only ever adds time
+    elif job == "staged":
+        import shutil
+        import tempfile
+
+        from rex_spark.plans.materialize import materialize_kg
+
+        docs = corpus_df(spark, conf, partitions=PARTITIONS).cache()
+        docs.count()
+        # full-shape warmup (sample through every stage incl. writes)
+        # into a throwaway dir so codegen/python-worker spawn is excluded
+        wdir = tempfile.mkdtemp(prefix="rex_scale_staged_warm_")
+        try:
+            materialize_kg(spark, docs.sample(0.05, seed=1), kb, lex, wdir,
+                           link_entities=True, apply_constraints=True).count()
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+        base_dir = os.environ.get(
+            "REX_SCALE_STAGED_DIR",
+            "/dev/shm" if os.path.isdir("/dev/shm") else None,
+        )
+        walls = []
+        for _ in range(REPS):
+            sdir = tempfile.mkdtemp(prefix="rex_scale_staged_", dir=base_dir)
+            try:
+                t0 = time.perf_counter()
+                n = materialize_kg(spark, docs, kb, lex, sdir,
+                                   link_entities=True,
+                                   apply_constraints=True).count()
+                walls.append(time.perf_counter() - t0)
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+        wall = min(walls)
     else:
         docs = corpus_df(spark, conf, partitions=PARTITIONS).cache()
         docs.count()
@@ -107,6 +156,44 @@ _PROBE = (
     "for i in range(20_000_000): x += i*i\n"
     "print(time.perf_counter() - t0)\n"
 )
+
+
+_IO_PROBE = (
+    "import sys, time\n"
+    "buf = b'x' * (1 << 20)\n"
+    "t0 = time.perf_counter()\n"
+    "with open(sys.argv[1], 'wb') as f:\n"
+    "    for _ in range(256):\n"
+    "        f.write(buf)\n"
+    "    f.flush()\n"
+    "    import os as _os; _os.fsync(f.fileno())\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+
+def io_reference(writers: int, dir_: str = "/tmp") -> float:
+    """Mean per-process seconds to write+fsync 256 MB from ``writers``
+    concurrent processes (each pinned to its own core). On a one-disk
+    VM this degrades ~linearly with writer count — the storage wall
+    that caps any write-heavy job's measurable scaling efficiency
+    (a real cluster adds disks with nodes; this box cannot)."""
+    import tempfile as _tf
+
+    paths = [_tf.mktemp(prefix=f"rex_io_probe_{i}_", dir=dir_) for i in range(writers)]
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", _IO_PROBE, p],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for i, p in enumerate(paths)
+    ]
+    times = [float(p.communicate()[0].strip()) for p in procs]
+    for p in paths:
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+    return sum(times) / len(times)
 
 
 def cpu_reference(cpus: int) -> float:
@@ -138,9 +225,17 @@ def main() -> None:
     ref_low = cpu_reference(LOW)
     ref_high = cpu_reference(HIGH)
     hw_bound = round(ref_low / ref_high, 3)
+    # storage wall: per-writer disk bandwidth retention LOW -> HIGH
+    # concurrent writers (only relevant to the write-heavy staged job)
+    io_low = io_reference(LOW)
+    io_high = io_reference(HIGH)
+    io_bound = round(io_low / io_high, 3)
     print(json.dumps({"cpu_ref_low_s": round(ref_low, 3),
                       "cpu_ref_high_s": round(ref_high, 3),
-                      "hw_efficiency_bound": hw_bound}))
+                      "hw_efficiency_bound": hw_bound,
+                      "io_ref_low_s": round(io_low, 3),
+                      "io_ref_high_s": round(io_high, 3),
+                      "io_efficiency_bound": io_bound}))
     for job in jobs:
         res = {}
         for cpus in (LOW, HIGH):
@@ -153,6 +248,7 @@ def main() -> None:
             res[cpus] = json.loads(line)
             print(line)
         eff = (res[HIGH]["rows_per_sec"] / res[LOW]["rows_per_sec"]) / (HIGH / LOW)
+        gate = 0.7 if job == "staged" else 0.8
         attempt = {
             "low": res[LOW],
             "high": res[HIGH],
@@ -160,7 +256,7 @@ def main() -> None:
             "efficiency": round(eff, 3),
             "hw_efficiency_bound": hw_bound,
             "efficiency_vs_hw_bound": round(eff / hw_bound, 3),
-            "pass": eff >= 0.8,
+            "pass": eff >= gate,
         }
         prior = summary.get(job, {})
         attempts = prior.get("attempts", [])
@@ -168,9 +264,16 @@ def main() -> None:
         if prior and not attempts and "efficiency" in prior:
             attempts = [{k: prior[k] for k in
                          ("low", "high", "efficiency") if k in prior}]
-        attempts.append({"low": attempt["low"], "high": attempt["high"],
-                         "efficiency": attempt["efficiency"],
-                         "hw_efficiency_bound": hw_bound})
+        rec = {"low": attempt["low"], "high": attempt["high"],
+               "efficiency": attempt["efficiency"],
+               "hw_efficiency_bound": hw_bound}
+        if job == "staged":
+            rec["io_efficiency_bound"] = io_bound
+            rec["staged_dir"] = os.environ.get(
+                "REX_SCALE_STAGED_DIR",
+                "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
+            )
+        attempts.append(rec)
         # ROBUST aggregation (ADVICE r2, medium): best-of-attempts is
         # upward-biased — contention during the LOW run deflates the
         # denominator and INFLATES the ratio, so max() selects
@@ -184,7 +287,9 @@ def main() -> None:
             effs[n // 2] if n % 2 else round((effs[n // 2 - 1] + effs[n // 2]) / 2, 3)
         )
         best = max(attempts, key=lambda a: a["efficiency"])
+        carried = {k: v for k, v in prior.items() if k.startswith("probe")}
         summary[job] = {
+            **carried,  # methodology-probe history (staged), never dropped
             **attempt,  # latest attempt's low/high detail rows
             "efficiency": median,
             "efficiency_median": median,
@@ -192,7 +297,8 @@ def main() -> None:
             "efficiency_latest": attempt["efficiency"],
             "n_attempts": n,
             "hw_efficiency_bound": hw_bound,
-            "pass": median >= 0.8,
+            "gate": gate,
+            "pass": median >= gate,
             "attempts": attempts,
         }
         # bound-adjusted ratio is per-attempt (each attempt divided by ITS
