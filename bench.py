@@ -245,6 +245,33 @@ def main() -> None:
         "distant_triples_documents": n_triples,
         "cpus": cpus,
     }
+    # attach the two-parallelism-level scaling evidence (north_rule):
+    # medians + latest attempt per job from tools/bench_scaling.py
+    scaling_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_out", "scaling.json"
+    )
+    if os.path.exists(scaling_path):
+        with open(scaling_path) as f:
+            sc = json.load(f)
+        result["scaling"] = {
+            job: {
+                k: v
+                for k, v in s.items()
+                if k in ("efficiency_median", "efficiency_best",
+                         "efficiency_latest", "n_attempts", "gate", "pass",
+                         "hw_efficiency_bound", "io_efficiency_bound",
+                         "mem_efficiency_bound")
+            }
+            | {
+                "low_rows_per_sec": (s.get("low") or {}).get("rows_per_sec"),
+                "low_cpus": (s.get("low") or {}).get("cpus"),
+                "high_rows_per_sec": (s.get("high") or {}).get("rows_per_sec"),
+                "high_cpus": (s.get("high") or {}).get("cpus"),
+            }
+            for job, s in sc.items()
+            if isinstance(s, dict)
+        }
+
     # self-sufficient artifact (VERDICT r4 Missing #2): the driver
     # scrapes the stdout tail, which can truncate mid-object; the FULL
     # result object is also written to a file so every round's numbers

@@ -71,8 +71,19 @@ def worker(job: str, cpus: int) -> None:
     from rex_spark.session import get_spark
     from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
 
+    extra = {}
+    # REX_SCALE_LOCAL_DIR: put shuffle/spill files somewhere whose
+    # bandwidth scales with cores (e.g. /dev/shm) — same rationale as
+    # the staged stage dirs; the box's one disk retains only ~0.15 of
+    # per-writer bandwidth from 4 to 16 concurrent writers (io probe),
+    # which a per-node-disk cluster does not suffer. Env-gated so the
+    # jvm/featurized attempt history keeps its original methodology.
+    if os.environ.get("REX_SCALE_LOCAL_DIR"):
+        d = os.path.join(os.environ["REX_SCALE_LOCAL_DIR"], f"rex_local_{job}_{cpus}")
+        os.makedirs(d, exist_ok=True)
+        extra["spark.local.dir"] = d
     spark = get_spark(f"rex-scale-{job}-{cpus}", master=f"local[{cpus}]",
-                      shuffle_partitions=64)
+                      shuffle_partitions=64, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     n_docs = {"jvm": N_DOCS_JVM, "staged": N_DOCS_STAGED}.get(job, N_DOCS_PY)
     conf = CorpusConfig(n_docs=n_docs, n_entities=400, n_kb=800, n_repos=100, seed=42)
@@ -119,7 +130,10 @@ def worker(job: str, cpus: int) -> None:
             "REX_SCALE_STAGED_DIR",
             "/dev/shm" if os.path.isdir("/dev/shm") else None,
         )
+        from rex_spark.sources.catalog import read_manifest
+
         walls = []
+        stage_ms: dict[str, int] = {}
         for _ in range(REPS):
             sdir = tempfile.mkdtemp(prefix="rex_scale_staged_", dir=base_dir)
             try:
@@ -128,6 +142,12 @@ def worker(job: str, cpus: int) -> None:
                                    link_entities=True,
                                    apply_constraints=True).count()
                 walls.append(time.perf_counter() - t0)
+                if walls[-1] == min(walls):  # keep the best rep's stage walls
+                    for st in ("candidates", "labeled", "triples",
+                               "constrained", "canonical"):
+                        m = read_manifest(os.path.join(sdir, st))
+                        if m and "wall_ms" in m:
+                            stage_ms[st] = m["wall_ms"]
             finally:
                 shutil.rmtree(sdir, ignore_errors=True)
         wall = min(walls)
@@ -143,10 +163,13 @@ def worker(job: str, cpus: int) -> None:
             walls.append(time.perf_counter() - t0)
         wall = min(walls)
 
-    print(json.dumps({"job": job, "cpus": cpus, "wall_sec": round(wall, 3),
-                      "all_walls": [round(w, 3) for w in walls],
-                      "rows": n, "rows_per_sec": round(n / wall, 2),
-                      "n_docs": n_docs, "partitions": PARTITIONS}))
+    out = {"job": job, "cpus": cpus, "wall_sec": round(wall, 3),
+           "all_walls": [round(w, 3) for w in walls],
+           "rows": n, "rows_per_sec": round(n / wall, 2),
+           "n_docs": n_docs, "partitions": PARTITIONS}
+    if job == "staged":
+        out["stage_wall_ms"] = stage_ms
+    print(json.dumps(out))
     spark.stop()
 
 
@@ -196,6 +219,35 @@ def io_reference(writers: int, dir_: str = "/tmp") -> float:
     return sum(times) / len(times)
 
 
+_MEM_PROBE = (
+    "import numpy as np, time\n"
+    "a = np.empty(200_000_000, dtype=np.uint8)\n"
+    "a[:] = 1\n"
+    "t0 = time.perf_counter()\n"
+    "for _ in range(10): b = a.copy()\n"
+    "print(time.perf_counter() - t0)\n"
+)
+
+
+def mem_reference(procs_n: int) -> float:
+    """Mean per-process seconds for 10 x 200 MB array copies from
+    ``procs_n`` concurrent pinned processes. This VM's memory bus
+    saturates at ~4 streaming cores (measured retention 4->16 ~ 0.34),
+    so any memcpy-heavy stage (parquet encode/decode, table writes)
+    cannot scale past ~2x from 4 to 16 cores HERE — a real cluster has
+    a memory bus per node. Recorded per staged attempt so the raw
+    number can be read against the wall that bounds it."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", _MEM_PROBE],
+            stdout=subprocess.PIPE, text=True,
+        )
+        for i in range(procs_n)
+    ]
+    times = [float(p.communicate()[0].strip()) for p in procs]
+    return sum(times) / len(times)
+
+
 def cpu_reference(cpus: int) -> float:
     """Mean per-process seconds of a fixed CPU loop run on ``cpus`` cores
     CONCURRENTLY (each pinned to its own core). On a shared-host VM,
@@ -230,12 +282,18 @@ def main() -> None:
     io_low = io_reference(LOW)
     io_high = io_reference(HIGH)
     io_bound = round(io_low / io_high, 3)
+    mem_low = mem_reference(LOW)
+    mem_high = mem_reference(HIGH)
+    mem_bound = round(mem_low / mem_high, 3)
     print(json.dumps({"cpu_ref_low_s": round(ref_low, 3),
                       "cpu_ref_high_s": round(ref_high, 3),
                       "hw_efficiency_bound": hw_bound,
                       "io_ref_low_s": round(io_low, 3),
                       "io_ref_high_s": round(io_high, 3),
-                      "io_efficiency_bound": io_bound}))
+                      "io_efficiency_bound": io_bound,
+                      "mem_ref_low_s": round(mem_low, 3),
+                      "mem_ref_high_s": round(mem_high, 3),
+                      "mem_efficiency_bound": mem_bound}))
     for job in jobs:
         res = {}
         for cpus in (LOW, HIGH):
@@ -268,7 +326,15 @@ def main() -> None:
                "efficiency": attempt["efficiency"],
                "hw_efficiency_bound": hw_bound}
         if job == "staged":
+            lo_ms = res[LOW].get("stage_wall_ms") or {}
+            hi_ms = res[HIGH].get("stage_wall_ms") or {}
+            rec["stage_efficiency"] = {
+                st: round((lo_ms[st] / hi_ms[st]) / (HIGH / LOW), 3)
+                for st in lo_ms
+                if st in hi_ms and hi_ms[st]
+            }
             rec["io_efficiency_bound"] = io_bound
+            rec["mem_efficiency_bound"] = mem_bound
             rec["staged_dir"] = os.environ.get(
                 "REX_SCALE_STAGED_DIR",
                 "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp",
