@@ -200,3 +200,34 @@ def test_pagerank_nontrivial_graph(spark):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-6)
     worst = max(abs(got[v] - want[v]) for v in want)
     assert worst < 1e-10, f"max |spark - replica| = {worst}"
+
+
+def test_auto_salts_policy():
+    # pure policy: no salting below threshold, fan-in bounded above it
+    from rex_spark.operators.graph import _auto_salts
+
+    assert _auto_salts(0, 1000) == 1
+    assert _auto_salts(1000, 1000) == 1
+    assert _auto_salts(1001, 1000) == 2
+    assert _auto_salts(10_000, 1000) == 10
+    assert _auto_salts(10**9, 1000) == 64  # capped
+
+
+def test_khop_auto_salting_matches_unsalted(spark):
+    # hub graph: "h" fans out to 40 nodes; with a low threshold "auto"
+    # must engage salting (>1) and the result must be identical to the
+    # unsalted run — salting changes the shuffle layout, never the rows
+    edges = [("h", f"t{i}") for i in range(40)] + [(f"t{i}", "z") for i in range(5)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    exact = {r["node"]: r["n_reach"] for r in khop_counts(e, k=2).collect()}
+    salted = {
+        r["node"]: r["n_reach"]
+        for r in khop_counts(e, k=2, hub_salts="auto", auto_salt_threshold=8).collect()
+    }
+    assert salted == exact
+    # and at the default (1M) threshold auto stays unsalted on this graph
+    quiet = {
+        r["node"]: r["n_reach"]
+        for r in khop_counts(e, k=2, hub_salts="auto").collect()
+    }
+    assert quiet == exact
