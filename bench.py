@@ -21,10 +21,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _window_probe() -> dict:
+    """Measurement-window quality stamp: single-core memcpy seconds per
+    200 MB copy (this VM's shared memory bus swings 370-1100 MB/s with
+    neighbor load — the r4 feature_aggregation 4.59 s artifact was such
+    a window) plus the 1-minute load average. Quiet ~0.35-0.55 s/copy;
+    >0.8 means numbers in this capture may be contention-inflated."""
+    import numpy as np
+
+    a = np.empty(200_000_000, dtype=np.uint8)
+    a[:] = 1
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a.copy()
+    per_copy = (time.perf_counter() - t0) / 3
+    try:
+        load1 = os.getloadavg()[0]
+    except OSError:  # pragma: no cover
+        load1 = None
+    return {"memcpy_s_per_200mb": round(per_copy, 3), "load_1m": load1}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    window_start = _window_probe()
 
     import __spark_entry__ as entry
     from rex_spark.plans.pipeline import PipelineConfig, extract_triples_distant
@@ -244,6 +267,7 @@ def main() -> None:
         "kg_triples": n_kg,
         "distant_triples_documents": n_triples,
         "cpus": cpus,
+        "window": {"start": window_start, "end": _window_probe()},
     }
     # attach the two-parallelism-level scaling evidence (north_rule):
     # medians + latest attempt per job from tools/bench_scaling.py
