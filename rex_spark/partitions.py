@@ -6,8 +6,16 @@ from pyspark.sql import DataFrame
 
 
 def _size_bytes(s: str) -> int:
-    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    """Parse a Spark byte-size conf value. Spark surfaces these in two
+    spellings depending on how the conf was set ('134217728b' when
+    defaulted, user strings like '128m'/'128MB' verbatim), so accept
+    both the one-letter and the 'kb'/'mb'/'gb'/'tb' suffix forms — a
+    parse failure here silently disables the stats short-circuit in
+    ``rebalance_to_parallelism`` (the caller treats it as
+    stats-unavailable), so be liberal in what we accept."""
     s = s.strip().lower()
+    if s.endswith("b") and not s[:-1].isdigit():
+        s = s[:-1]  # '128kb' -> '128k'
     for suffix, mult in (("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
                          ("t", 1 << 40), ("b", 1)):
         if s.endswith(suffix):

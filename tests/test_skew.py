@@ -73,6 +73,21 @@ def test_two_phase_plan_has_two_aggregates(spark):
     # by (repo, _salt), one keyed by repo
     assert plan.count("ObjectHashAggregate") + plan.count("SortAggregate") >= 2
 
+def test_size_conf_parser_accepts_both_spark_spellings():
+    # Spark surfaces byte-size confs as '134217728b' (defaulted) or the
+    # user's own string ('128m', '128MB'); a parse failure silently
+    # disables the stats short-circuit, so both spellings must parse
+    from rex_spark.partitions import _size_bytes
+
+    assert _size_bytes("134217728") == 134217728
+    assert _size_bytes("134217728b") == 134217728
+    assert _size_bytes("128m") == 128 << 20
+    assert _size_bytes("128MB") == 128 << 20
+    assert _size_bytes("1k") == 1 << 10
+    assert _size_bytes("1gb") == 1 << 30
+    assert _size_bytes("2tb") == 2 << 40
+
+
 def test_rebalance_short_circuits_on_plan_stats(spark, tmp_path, monkeypatch):
     # at real scale (relation size >= target x maxPartitionBytes — the
     # scan cannot split into fewer partitions than cores) the rebalance
