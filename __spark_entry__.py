@@ -987,6 +987,18 @@ def q_kg_khop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return khop_counts(_kg_graph_edges(spark, sf_dir), k=3)
 
 
+def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-node triangle participation over the same edge set
+    # (operators/graph.py triangle_counts): degree-ordered orientation
+    # bounds the wedge self-join at O(sqrt(m)) out-degree — the
+    # structural hub-skew kill — and generates each triangle exactly
+    # once. The oracle replays it as a naive canonical-edge triple join
+    # (orientation changes the shuffle layout, never the triangle set).
+    from rex_spark.operators.graph import triangle_counts
+
+    return triangle_counts(_kg_graph_edges(spark, sf_dir))
+
+
 def q_skip_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F2 k-skip-n-grams through the REAL recursive kernel (rex
     # InsideFeatures.scala:9-36) at the app-default n=2, k=4 over each
@@ -1150,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skip_grams": q_skip_grams,
         "kg_pagerank": q_kg_pagerank,
         "kg_khop": q_kg_khop,
+        "kg_triangles": q_kg_triangles,
         "positives_only": q_positives_only,
     }
 
@@ -2021,6 +2034,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_ivf_kmeans_topk": ivf_kmeans_sql,
         "kg_pagerank": pagerank_sql,
+        "kg_triangles": f"""
+            WITH base AS MATERIALIZED (
+              {graph_edges_sql}
+            ),
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM base WHERE src <> dst
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+            FROM (
+              SELECT x AS node FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri
+            ) GROUP BY node
+        """,
         "kg_khop": f"""
             WITH base AS MATERIALIZED (
               {graph_edges_sql}

@@ -105,6 +105,7 @@ def main() -> None:
         "content_equality",
         "dep_paths",
         "constrain_triples_occurrences",
+        "kg_triangles",
     ]
 
     # warm the JVM + parquet footers once (not timed)

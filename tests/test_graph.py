@@ -231,3 +231,76 @@ def test_khop_auto_salting_matches_unsalted(spark):
         for r in khop_counts(e, k=2, hub_salts="auto").collect()
     }
     assert quiet == exact
+
+
+def _tri_bruteforce(edges: list[tuple[str, str]]) -> set[tuple[str, str, str]]:
+    """Driver-side reference: canonical undirected edge set, all 3-cliques."""
+    from itertools import combinations
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({u for e in und for u in e})
+    return {
+        (a, b, c)
+        for a, b, c in combinations(nodes, 3)
+        if (a, b) in und and (b, c) in und and (a, c) in und
+    }
+
+
+def test_triangles_k4_golden(spark):
+    from rex_spark.operators.graph import triangle_counts, triangles
+
+    # K4 has exactly C(4,3)=4 triangles; every node sits in 3 of them.
+    # Feed DIRECTED duplicates + a self-loop to pin canonicalization.
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "d"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    tri = {tuple(r) for r in triangles(e).collect()}
+    assert tri == {("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")}
+    counts = {r["node"]: r["n_tri"] for r in triangle_counts(e).collect()}
+    assert counts == {"a": 3, "b": 3, "c": 3, "d": 3}
+
+
+def test_triangles_star_hub_has_none(spark):
+    from rex_spark.operators.graph import triangles
+
+    # a pure hub (the worst skew shape) closes no triangles — and under
+    # degree orientation the hub generates ZERO wedges (out-degree 0)
+    edges = [("hub", f"t{i}") for i in range(50)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    assert triangles(e).count() == 0
+
+
+def test_triangles_match_bruteforce_random(spark):
+    import random
+
+    from rex_spark.operators.graph import triangles
+
+    # seeded random graph, dense enough for many triangles
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(23)}", f"n{rng.randrange(23)}") for _ in range(160)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    got = {tuple(r) for r in triangles(e).collect()}
+    want = _tri_bruteforce(edges)
+    assert got == want and len(want) > 10
+
+
+def test_triangle_counts_checkpointed_matches(spark, tmp_path):
+    from rex_spark.operators.graph import triangle_counts
+
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(23)}", f"n{rng.randrange(23)}") for _ in range(160)
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    plain = {tuple(r) for r in triangle_counts(e).collect()}
+    durable = {
+        tuple(r)
+        for r in triangle_counts(e, checkpoint_dir=str(tmp_path / "tri")).collect()
+    }
+    assert durable == plain
