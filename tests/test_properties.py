@@ -106,3 +106,56 @@ def test_no_known_punct_mask(words):
     mask = no_known_punct(words)
     for w, keep in zip(words, mask):
         assert keep == (w not in KNOWN_PUNCT)
+
+
+# --- codec round-trip properties (pure kernels, no Spark) ---------------
+
+_rgb = st.integers(0, 255)
+
+
+@settings(deadline=None)
+@given(
+    st.integers(1, 12),
+    st.integers(1, 12),
+    st.integers(0, 2**32 - 1),
+)
+def test_png_bmp_ppm_roundtrip_random_images(h, w, seed):
+    import numpy as np
+
+    from rex_spark.operators.multimodal import (
+        decode_image, encode_bmp, encode_png, encode_ppm)
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    for enc in (encode_png, encode_bmp, encode_ppm):
+        assert np.array_equal(decode_image(enc(img)), img), enc.__name__
+
+
+@settings(deadline=None)
+@given(st.integers(1, 10), st.integers(1, 10), st.integers(0, 2**32 - 1),
+       st.booleans())
+def test_gif_roundtrip_random_palette_images(h, w, seed, interlace):
+    import numpy as np
+
+    from rex_spark.operators.multimodal import decode_image, encode_gif
+
+    # GIF caps at 256 distinct colors; draw pixels from an 8-color palette
+    rng = np.random.default_rng(seed)
+    palette = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    img = palette[rng.integers(0, len(palette), (h, w))]
+    assert np.array_equal(decode_image(encode_gif(img, interlace=interlace)), img)
+
+
+@settings(deadline=None)
+@given(st.integers(1, 400), st.integers(0, 2**32 - 1))
+def test_wav_pcm16_roundtrip_random_waveforms(n, seed):
+    import numpy as np
+
+    from rex_spark.operators.multimodal import decode_audio, encode_wav_pcm16
+
+    wave = np.random.default_rng(seed).uniform(-1, 1, n).astype(np.float64)
+    out = decode_audio(encode_wav_pcm16(wave))
+    assert out.shape == (n,)
+    # encoder scales by 32767, decoder normalizes by 32768 (the usual
+    # asymmetric PCM convention): half a quantum of rounding plus up to
+    # one part in 32768 of scale mismatch -> bound at 2 quanta
+    assert np.max(np.abs(out - wave)) <= 2.0 / 32767.0
