@@ -999,6 +999,16 @@ def q_kg_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return triangle_counts(_kg_graph_edges(spark, sf_dir))
 
 
+def q_kg_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # local clustering coefficient per node (graph.py
+    # clustering_coefficient): 2*n_tri / (deg*(deg-1)) over the
+    # canonical simple graph, 6-dp rounded (same cross-engine float
+    # grain as kg_pagerank); deg<2 nodes fixed at 0.
+    from rex_spark.operators.graph import clustering_coefficient
+
+    return clustering_coefficient(_kg_graph_edges(spark, sf_dir))
+
+
 def q_skip_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F2 k-skip-n-grams through the REAL recursive kernel (rex
     # InsideFeatures.scala:9-36) at the app-default n=2, k=4 over each
@@ -1163,6 +1173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": q_kg_pagerank,
         "kg_khop": q_kg_khop,
         "kg_triangles": q_kg_triangles,
+        "kg_clustering": q_kg_clustering,
         "positives_only": q_positives_only,
     }
 
@@ -2054,6 +2065,40 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL SELECT y FROM tri
               UNION ALL SELECT z FROM tri
             ) GROUP BY node
+        """,
+        "kg_clustering": f"""
+            WITH base AS MATERIALIZED (
+              {graph_edges_sql}
+            ),
+            e0 AS MATERIALIZED (
+              SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+              FROM base WHERE src <> dst
+            ),
+            deg AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS deg
+              FROM (SELECT a AS node FROM e0 UNION ALL SELECT b FROM e0)
+              GROUP BY node
+            ),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM e0 e1
+              JOIN e0 e2 ON e2.a = e1.b
+              JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+            ),
+            tc AS (
+              SELECT node, CAST(count(*) AS BIGINT) AS n_tri
+              FROM (
+                SELECT x AS node FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri
+              ) GROUP BY node
+            )
+            SELECT d.node, d.deg, COALESCE(tc.n_tri, 0) AS n_tri,
+                   round(CASE WHEN d.deg >= 2
+                              THEN 2.0 * COALESCE(tc.n_tri, 0)
+                                   / (d.deg * (d.deg - 1))
+                              ELSE 0.0 END, 6) AS lcc
+            FROM deg d LEFT JOIN tc ON tc.node = d.node
         """,
         "kg_khop": f"""
             WITH base AS MATERIALIZED (

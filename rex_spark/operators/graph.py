@@ -297,4 +297,54 @@ def triangle_counts(
     )
 
 
-__all__ = ["pagerank", "khop_counts", "triangles", "triangle_counts"]
+def clustering_coefficient(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    checkpoint_dir: str | None = None,
+    digits: int = 6,
+) -> DataFrame:
+    """Local clustering coefficient per node:
+    ``lcc = 2 * n_tri / (deg * (deg - 1))`` over the canonical
+    undirected simple graph (deg = distinct-neighbor count), rounded to
+    ``digits`` so the value hashes identically across engines. Nodes
+    with deg < 2 have lcc 0 by convention. One extra degree aggregate +
+    one outer join over ``triangle_counts``; all scale notes on
+    ``triangles`` apply."""
+    e0 = (
+        edges.select(
+            F.least(F.col(src_col), F.col(dst_col)).alias("a"),
+            F.greatest(F.col(src_col), F.col(dst_col)).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        e0.select(F.col("a").alias("node"))
+        .unionAll(e0.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    tri = triangle_counts(edges, src_col, dst_col, checkpoint_dir)
+    pairs = F.col("deg") * (F.col("deg") - 1)
+    return deg.join(tri, "node", "left").select(
+        "node",
+        "deg",
+        F.coalesce(F.col("n_tri"), F.lit(0)).alias("n_tri"),
+        F.round(
+            F.when(
+                F.col("deg") >= 2,
+                2.0 * F.coalesce(F.col("n_tri"), F.lit(0)) / pairs,
+            ).otherwise(F.lit(0.0)),
+            digits,
+        ).alias("lcc"),
+    )
+
+
+__all__ = [
+    "pagerank",
+    "khop_counts",
+    "triangles",
+    "triangle_counts",
+    "clustering_coefficient",
+]

@@ -304,3 +304,27 @@ def test_triangle_counts_checkpointed_matches(spark, tmp_path):
         for r in triangle_counts(e, checkpoint_dir=str(tmp_path / "tri")).collect()
     }
     assert durable == plain
+
+
+def test_clustering_coefficient_goldens(spark):
+    from rex_spark.operators.graph import clustering_coefficient
+
+    # K4: every node deg 3, in 3 triangles, lcc = 2*3/(3*2) = 1.0
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    e = spark.createDataFrame(k4, "src string, dst string")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["lcc"]) for r in
+           clustering_coefficient(e).collect()}
+    assert got == {n: (3, 3, 1.0) for n in "abcd"}
+
+    # path a-b-c: no triangles; deg-1 endpoints get lcc 0 by convention
+    path = [("a", "b"), ("b", "c")]
+    e = spark.createDataFrame(path, "src string, dst string")
+    got = {r["node"]: (r["deg"], r["n_tri"], r["lcc"]) for r in
+           clustering_coefficient(e).collect()}
+    assert got == {"a": (1, 0, 0.0), "b": (2, 0, 0.0), "c": (1, 0, 0.0)}
+
+    # triangle + pendant: b has deg 3 (a, c, d), 1 triangle -> 2/6
+    tp = [("a", "b"), ("b", "c"), ("a", "c"), ("b", "d")]
+    e = spark.createDataFrame(tp, "src string, dst string")
+    got = {r["node"]: r["lcc"] for r in clustering_coefficient(e).collect()}
+    assert got == {"a": 1.0, "b": round(1 / 3, 6), "c": 1.0, "d": 0.0}
