@@ -9,10 +9,10 @@ Decode kernels (VERDICT r3 Next #1 + r4 Next #1/#7 — real, pure
 stdlib + numpy, zero external deps):
 
   - ``decode_image``: uncompressed BMP (24/32-bit BI_RGB, bottom-up and
-    top-down), PPM (binary P6 + ascii P3), 8-bit non-interlaced PNG
-    (stdlib ``zlib`` inflate + numpy un-filter of all five scanline
-    filters), and GIF87a/89a (stdlib-implemented LZW, interlace-aware)
-    -> (H, W, 3) uint8 RGB;
+    top-down), PPM (binary P6 + ascii P3), 8-bit PNG — non-interlaced
+    AND Adam7-interlaced (stdlib ``zlib`` inflate + numpy un-filter of
+    all five scanline filters, per-pass for Adam7) — and GIF87a/89a
+    (stdlib-implemented LZW, interlace-aware) -> (H, W, 3) uint8 RGB;
   - ``decode_audio``: RIFF/WAVE chunk walk -> mono float32 waveform in
     [-1, 1] for PCM 8/16/24/32-bit and IEEE float32/64 data.
 
@@ -198,60 +198,31 @@ def _png_chunks(b: bytes) -> Iterator[tuple[bytes, bytes]]:
         pos += 12 + size
 
 
-def _decode_png(b: bytes) -> np.ndarray:
-    """PNG -> (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy (VERDICT r4
-    Next #1 — IDAT is plain DEFLATE, so "needs a codec library" was
-    false for PNG; only DCT/Huffman formats like JPEG genuinely do).
+# Adam7: (x_start, y_start, x_step, y_step) per pass, spec order
+_PNG_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
 
-    Supported: 8-bit-per-sample, non-interlaced, color types 0 (grey),
-    2 (RGB), 3 (palette), 4 (grey+alpha), 6 (RGBA). Un-filtering
-    applies the spec's five per-scanline filters: None/Up are
-    whole-row vectorized adds; Sub is a strided cumsum (the recurrence
-    recon[i] = raw[i] + recon[i-bpp] is exactly a per-channel prefix
-    sum mod 256); Average and Paeth carry a true intra-row dependency
-    and walk pixels within the affected rows only."""
-    import zlib
 
-    if b[:8] != b"\x89PNG\r\n\x1a\n":
-        raise ValueError(f"not a PNG payload (magic {b[:8]!r})")
-    ihdr = None
-    palette = None
-    idat_parts: list[bytes] = []
-    for ctype, data in _png_chunks(b):
-        if ctype == b"IHDR":
-            ihdr = data
-        elif ctype == b"PLTE":
-            palette = data
-        elif ctype == b"IDAT":
-            idat_parts.append(data)
-    if ihdr is None or len(ihdr) < 13:
-        raise ValueError("PNG has no valid IHDR chunk")
-    if not idat_parts:
-        raise ValueError("PNG has no IDAT chunk")
-    width = int.from_bytes(ihdr[0:4], "big")
-    height = int.from_bytes(ihdr[4:8], "big")
-    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
-    if comp != 0 or filt != 0:
-        raise ValueError(f"PNG declares unknown compression/filter method {comp}/{filt}")
-    if interlace != 0:
-        raise NotImplementedError("Adam7-interlaced PNG is not supported")
-    if bit_depth != 8:
-        raise NotImplementedError(f"{bit_depth}-bit PNG is not supported (8-bit only)")
-    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
-    if n_ch is None:
-        raise ValueError(f"PNG has invalid color type {color_type}")
-    if width <= 0 or height <= 0:
-        raise ValueError(f"PNG has degenerate dimensions {width}x{height}")
-    raw = zlib.decompress(b"".join(idat_parts))
+def _png_unfilter(raw: bytes, offset: int, width: int, height: int, n_ch: int) -> np.ndarray:
+    """Un-apply the five PNG scanline filters over ``height`` lines of
+    ``width`` pixels starting at ``raw[offset]`` -> (height, width*n_ch)
+    uint8. None/Up are whole-row vectorized adds; Sub is a strided
+    cumsum (recon[i] = raw[i] + recon[i-bpp] is exactly a per-channel
+    prefix sum mod 256); Average and Paeth carry a true intra-row
+    dependency and walk pixels within the affected rows only. The
+    filter state (prior scanline) resets per call — which is exactly
+    the spec's rule for each Adam7 pass ("each pass is filtered as an
+    independent image")."""
     row_bytes = width * n_ch
-    if len(raw) < (row_bytes + 1) * height:
+    need = (row_bytes + 1) * height
+    if len(raw) - offset < need:
         raise ValueError(
-            f"PNG pixel data truncated: need {(row_bytes + 1) * height} "
-            f"bytes after inflate, have {len(raw)}"
+            f"PNG pixel data truncated: need {need} bytes after inflate, "
+            f"have {len(raw) - offset}"
         )
-    lines = np.frombuffer(raw, np.uint8, (row_bytes + 1) * height).reshape(
-        height, row_bytes + 1
-    )
+    lines = np.frombuffer(raw, np.uint8, need, offset).reshape(height, row_bytes + 1)
     filters = lines[:, 0]
     recon = lines[:, 1:].copy()
     prev = np.zeros(row_bytes, dtype=np.uint8)
@@ -280,7 +251,66 @@ def _decode_png(b: bytes) -> np.ndarray:
         else:
             raise ValueError(f"PNG scanline {y} has invalid filter type {f}")
         prev = row
-    px = recon.reshape(height, width, n_ch)
+    return recon
+
+
+def _decode_png(b: bytes) -> np.ndarray:
+    """PNG -> (H, W, 3) uint8 RGB, pure stdlib-zlib + numpy (VERDICT r4
+    Next #1 — IDAT is plain DEFLATE, so "needs a codec library" was
+    false for PNG; only DCT/Huffman formats like JPEG genuinely do).
+
+    Supported: 8-bit-per-sample, color types 0 (grey), 2 (RGB), 3
+    (palette), 4 (grey+alpha), 6 (RGBA), both non-interlaced and
+    Adam7-interlaced (r5: each of the seven passes un-filters as an
+    independent sub-image per the spec, then strided-scatters into the
+    output — empty passes consume no bytes). Un-filtering per
+    ``_png_unfilter``."""
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError(f"not a PNG payload (magic {b[:8]!r})")
+    ihdr = None
+    palette = None
+    idat_parts: list[bytes] = []
+    for ctype, data in _png_chunks(b):
+        if ctype == b"IHDR":
+            ihdr = data
+        elif ctype == b"PLTE":
+            palette = data
+        elif ctype == b"IDAT":
+            idat_parts.append(data)
+    if ihdr is None or len(ihdr) < 13:
+        raise ValueError("PNG has no valid IHDR chunk")
+    if not idat_parts:
+        raise ValueError("PNG has no IDAT chunk")
+    width = int.from_bytes(ihdr[0:4], "big")
+    height = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError(f"PNG declares unknown compression/filter method {comp}/{filt}")
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG declares unknown interlace method {interlace}")
+    if bit_depth != 8:
+        raise NotImplementedError(f"{bit_depth}-bit PNG is not supported (8-bit only)")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if n_ch is None:
+        raise ValueError(f"PNG has invalid color type {color_type}")
+    if width <= 0 or height <= 0:
+        raise ValueError(f"PNG has degenerate dimensions {width}x{height}")
+    raw = zlib.decompress(b"".join(idat_parts))
+    if interlace == 0:
+        px = _png_unfilter(raw, 0, width, height, n_ch).reshape(height, width, n_ch)
+    else:  # Adam7
+        px = np.zeros((height, width, n_ch), dtype=np.uint8)
+        offset = 0
+        for x0, y0, dx, dy in _PNG_ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue  # empty pass stores nothing, not even filter bytes
+            sub = _png_unfilter(raw, offset, pw, ph, n_ch)
+            offset += (pw * n_ch + 1) * ph
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, n_ch)
     if color_type == 2:  # RGB
         return np.ascontiguousarray(px)
     if color_type == 6:  # RGBA: drop alpha

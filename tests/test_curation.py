@@ -246,14 +246,28 @@ def _png_chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def _png_bytes(scanlines: bytes, w: int, h: int, color_type: int,
-               extra: bytes = b"") -> bytes:
+               extra: bytes = b"", interlace: int = 0) -> bytes:
     import zlib
 
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
-            + bytes([8, color_type, 0, 0, 0]))
+            + bytes([8, color_type, 0, 0, interlace]))
     return (b"\x89PNG\r\n\x1a\n" + _png_chunk(b"IHDR", ihdr) + extra
             + _png_chunk(b"IDAT", zlib.compress(scanlines))
             + _png_chunk(b"IEND", b""))
+
+
+def _adam7_scanlines(img) -> bytes:
+    # spec pass order; each non-empty pass is its own filter-0 sub-image
+    passes = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+              (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    parts = []
+    for x0, y0, dx, dy in passes:
+        sub = img[y0::dy, x0::dx]
+        if sub.shape[0] == 0 or sub.shape[1] == 0:
+            continue
+        for r in range(sub.shape[0]):
+            parts.append(b"\x00" + sub[r].tobytes())
+    return b"".join(parts)
 
 
 def test_png_roundtrip():
@@ -330,15 +344,34 @@ def test_png_malformed_raises():
     good[-1] ^= 0xFF  # flip the last byte of IEND's CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_image(bytes(good))
-    # interlaced flag set -> honest NotImplementedError, not garbage
-    adam7 = bytearray(encode_png(_checker(3, 3)))
+    # unknown interlace method (only 0/none and 1/Adam7 exist) -> ValueError
+    bad_il = bytearray(encode_png(_checker(3, 3)))
     # IHDR data starts at offset 16; interlace flag is its 13th byte
-    adam7[16 + 12] = 1
+    bad_il[16 + 12] = 2
     import zlib as _z
-    crc = _z.crc32(b"IHDR" + bytes(adam7[16:29])) & 0xFFFFFFFF
-    adam7[29:33] = crc.to_bytes(4, "big")
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        decode_image(bytes(adam7))
+    crc = _z.crc32(b"IHDR" + bytes(bad_il[16:29])) & 0xFFFFFFFF
+    bad_il[29:33] = crc.to_bytes(4, "big")
+    with pytest.raises(ValueError, match="interlace"):
+        decode_image(bytes(bad_il))
+
+
+def test_png_adam7_interlaced_roundtrip():
+    import numpy as np
+
+    from rex_spark.operators.multimodal import decode_image
+
+    # 9x10 exercises every one of the seven passes plus empty-pass
+    # bookkeeping on the ragged edges; 3x3 exercises passes that
+    # vanish entirely (pass 2's x-origin is off the canvas)
+    for h, w in ((9, 10), (3, 3), (1, 1), (2, 8), (8, 2)):
+        rng = np.random.default_rng(h * 100 + w)
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        b = _png_bytes(_adam7_scanlines(img), w, h, 2, interlace=1)
+        assert np.array_equal(decode_image(b), img), (h, w)
+    # greyscale + palette color types through the interlaced path too
+    grey = np.arange(12, dtype=np.uint8).reshape(4, 3, 1) * 20
+    b = _png_bytes(_adam7_scanlines(grey), 3, 4, 0, interlace=1)
+    assert np.array_equal(decode_image(b), np.repeat(grey, 3, axis=2))
 
 
 def test_gif_roundtrip_and_interlace():
