@@ -56,7 +56,8 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     checkpoint_dir: str | None = None,
-    hub_salts: int = 16,
+    hub_salts: int | str = 16,
+    auto_salt_threshold: int = 1_000_000,
 ) -> DataFrame:
     """Standard damped PageRank over the DISTINCT directed edge set.
 
@@ -72,6 +73,15 @@ def pagerank(
     dangling_t = 1 - sum_over_dsts(contribs_t); the two formulations
     differ only by float summation order (~1e-15, far below the 6-dp
     grain the oracle compares at).
+
+    ``hub_salts="auto"`` mirrors khop's measured policy (r5): one
+    max-OUT-degree aggregate over the already-materialized links table
+    picks the salt count via ``_auto_salts`` — the ranks ⋈ links join
+    keys on the SOURCE u, so a hub source's whole adjacency is the
+    skewed task and salting by hash(v) is what splits it; the contribs
+    groupBy(v) side is algebraic (partial aggregation) and never needs
+    salting. Amortized over all ``iters`` iterations. Salting never
+    changes the ranks, only the shuffle layout.
     """
     e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")).distinct()
     nodes = (
@@ -92,6 +102,12 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0)).select("node", "rank")
+    if hub_salts == "auto":
+        max_out = (
+            links.groupBy("u").agg(F.count(F.lit(1)).alias("d")).agg(F.max("d")).first()[0]
+            or 0
+        )
+        hub_salts = _auto_salts(max_out, auto_salt_threshold)
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     for _ in range(iters):
         # hub-salted join: links salted by hash(v), the one-row-per-node

@@ -328,3 +328,22 @@ def test_clustering_coefficient_goldens(spark):
     e = spark.createDataFrame(tp, "src string, dst string")
     got = {r["node"]: r["lcc"] for r in clustering_coefficient(e).collect()}
     assert got == {"a": 1.0, "b": round(1 / 3, 6), "c": 1.0, "d": 0.0}
+
+
+def test_pagerank_auto_salting_matches_fixed(spark):
+    from rex_spark.operators.graph import pagerank
+
+    # hub source with 60 out-edges: auto must engage (>1 salt) at a low
+    # threshold and produce ranks identical to the fixed-salt run
+    edges = [("h", f"t{i}") for i in range(60)] + [(f"t{i}", "h") for i in range(10)]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    fixed = {r["node"]: r["rank"] for r in pagerank(e, iters=5).collect()}
+    auto = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            e, iters=5, hub_salts="auto", auto_salt_threshold=16
+        ).collect()
+    }
+    assert auto.keys() == fixed.keys()
+    for k in fixed:
+        assert auto[k] == pytest.approx(fixed[k], abs=1e-12)
