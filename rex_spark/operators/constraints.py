@@ -92,7 +92,10 @@ def apply_functional_constraint(
 
 
 def constrain_triples(
-    triples: DataFrame, kb: DataFrame, type_map: DataFrame
+    triples: DataFrame,
+    kb: DataFrame,
+    type_map: DataFrame,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """The full constraint-filtering pass over PER-OCCURRENCE triple rows
     (doc_id/sent_idx lineage preserved): type licensing row-wise, then
@@ -106,9 +109,21 @@ def constrain_triples(
     provenance), and the tie among identical-key rows would break
     nondeterministically (different checksums per run, violating the
     resumable byte-identical guarantee).
+
+    ``kept`` is MATERIALIZED before fan-out (r5): it feeds both the
+    edge aggregate and the semi-join's left side, and the two subtrees
+    do not canonicalize to one exchange — without lineage truncation
+    the whole upstream extraction + type-licensing pass executes twice,
+    a full duplicated corpus scan at 100 TB. Same durability switch as
+    every other fan-out point (``checkpoint_dir`` /
+    ``spark.rex.checkpointDir``).
     """
+    from ..checkpoint import materialize
+
     cons = derive_type_constraints(kb, type_map)
-    kept = apply_type_constraints(triples, cons, type_map)
+    kept = materialize(
+        apply_type_constraints(triples, cons, type_map), checkpoint_dir
+    )
     edges = kept.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("support")
     )
