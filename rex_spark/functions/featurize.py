@@ -49,12 +49,25 @@ def filter_and_reindex(
     return filtered, q, a
 
 
-def adjacency_windows_one_sentence(
-    pairs: Sequence[tuple[str, bool]], qi: int, ai: int, width: int
-) -> list[str]:
-    """All full-width adjacency window features for one (q, a) pair in one
-    sentence. rex CandidateFeatuerizer.scala:77-104 + 167-186."""
-    words, q, a = filter_and_reindex(pairs, qi, ai)
+def _reindex_one(drops: Sequence[int], i: int) -> int:
+    """``filter_and_reindex``'s index remap for ONE endpoint given the
+    ascending original indices of dropped tokens — same current-value
+    update rule (``if d < current: current -= 1``). Early exit is sound:
+    drops are ascending and the current value only decreases, so once a
+    drop fails the comparison every later one does too. Parity with the
+    full function is property-tested."""
+    v = i
+    for d in drops:
+        if d >= v:
+            break
+        v -= 1
+    return v
+
+
+def _windows_prefiltered(words: list[str], q: int, a: int, width: int) -> list[str]:
+    """Adjacency windows over an ALREADY filtered+reindexed sentence —
+    the loop body of ``adjacency_windows_one_sentence`` after its
+    filter step (rex CandidateFeatuerizer.scala:77-104 + 167-186)."""
     l, r = (q, a) if q < a else (a, q)
     size = len(words)
     feats: list[str] = []
@@ -66,6 +79,15 @@ def adjacency_windows_one_sentence(
         if right:
             feats.append(",".join(right))
     return feats
+
+
+def adjacency_windows_one_sentence(
+    pairs: Sequence[tuple[str, bool]], qi: int, ai: int, width: int
+) -> list[str]:
+    """All full-width adjacency window features for one (q, a) pair in one
+    sentence. rex CandidateFeatuerizer.scala:77-104 + 167-186."""
+    words, q, a = filter_and_reindex(pairs, qi, ai)
+    return _windows_prefiltered(words, q, a, width)
 
 
 def inside_feature_strings(
@@ -221,11 +243,24 @@ def featurize_sentence_pairs(
         from .deppath import dep_path, scope_ancestors
 
         chains = scope_ancestors(tokens)
+    # hoist the pair-independent filter work (r5): the filtered word
+    # list never depends on (q, a), and endpoints repeat across the
+    # ~6 pairs per sentence — remap each unique endpoint once
+    if adjacent_width is not None:
+        filtered = [w for w, k in vk if k]
+        drops = [i for i, (_, k) in enumerate(vk) if not k]
+        remap: dict[int, int] = {}
     out: list[dict[str, float]] = []
     for qi, ai in pairs:
         feats: list[str] = []
         if adjacent_width is not None:
-            feats.extend(adjacency_windows_one_sentence(vk, qi, ai, adjacent_width))
+            q = remap.get(qi)
+            if q is None:
+                q = remap[qi] = _reindex_one(drops, qi)
+            a = remap.get(ai)
+            if a is None:
+                a = remap[ai] = _reindex_one(drops, ai)
+            feats.extend(_windows_prefiltered(filtered, q, a, adjacent_width))
         if inside_ngram is not None:
             feats.extend(
                 inside_feature_strings(

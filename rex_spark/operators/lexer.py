@@ -110,6 +110,10 @@ def lex_document(
     """Pure kernel: text -> [(tokens, tags, entities)] per sentence."""
     out = []
     raw_lines = text.splitlines() or [text]
+    # hot loop: bind attribute lookups once per document
+    lex_get = lexicon.get
+    rules_get = conf.def_rules.get
+    non_entity = conf.non_entity
     for raw in raw_lines:
         if conf.split_semicolon:
             pieces = [p for p in raw.split(";") if p.strip()]
@@ -124,10 +128,10 @@ def lex_document(
                 tags = [tag_token(t) for t in chunk]
                 ents = []
                 for i, t in enumerate(chunk):
-                    ent = lexicon.get(t)
+                    ent = lex_get(t)
                     if ent is None and i > 0:
-                        ent = conf.def_rules.get(chunk[i - 1]) if tags[i] == "ID" else None
-                    ents.append(ent if ent is not None else conf.non_entity)
+                        ent = rules_get(chunk[i - 1]) if tags[i] == "ID" else None
+                    ents.append(ent if ent is not None else non_entity)
                 out.append((chunk, tags, ents))
     return out
 

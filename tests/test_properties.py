@@ -159,3 +159,25 @@ def test_wav_pcm16_roundtrip_random_waveforms(n, seed):
     # asymmetric PCM convention): half a quantum of rounding plus up to
     # one part in 32768 of scale mismatch -> bound at 2 quanta
     assert np.max(np.abs(out - wave)) <= 2.0 / 32767.0
+
+
+@settings(deadline=None)
+@given(
+    st.lists(st.booleans(), min_size=1, max_size=30),
+    st.data(),
+)
+def test_reindex_one_matches_filter_and_reindex(keep, data):
+    # the hoisted per-endpoint remap must equal the faithful full
+    # function (rex CandidateFeatuerizer.scala:39-75 current-value rule)
+    # for EVERY endpoint, kept or dropped
+    from rex_spark.functions.featurize import _reindex_one, filter_and_reindex
+
+    words = [f"w{i}" for i in range(len(keep))]
+    vk = list(zip(words, keep))
+    drops = [i for i, k in enumerate(keep) if not k]
+    qi = data.draw(st.integers(0, len(keep) - 1))
+    ai = data.draw(st.integers(0, len(keep) - 1))
+    filtered, q, a = filter_and_reindex(vk, qi, ai)
+    assert filtered == [w for w, k in vk if k]
+    assert q == _reindex_one(drops, qi)
+    assert a == _reindex_one(drops, ai)
