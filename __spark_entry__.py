@@ -1123,6 +1123,64 @@ def q_constrain_triples_occurrences(spark: SparkSession, sf_dir: str) -> DataFra
     return out.select("doc_id", "q_pos", "a_pos", "subj", "pred", "obj")
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benchmark decontamination (operators/curation.py): documents
+    # sharing any word 8-gram with the "benchmark" set (docs 0-9 stand
+    # in for an eval set — both engines derive it from the same table).
+    # Self-matches for docs 0-9 prove recall; cross-doc hits are the
+    # contamination the operator exists to catch. Corpus scanned once,
+    # benchmark n-gram set broadcast.
+    from rex_spark.operators.curation import decontaminate
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    bench = _docs(spark, sf_dir).where("doc_id < 10").select(
+        F.col("doc_id").alias("bench_id"), F.col("text").alias("content")
+    )
+    return decontaminate(d, bench, n=8)
+
+
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition quality signals (operators/curation.py):
+    # duplicate-line fraction, duplicate-line char fraction, top word
+    # 2-gram char coverage; 6-dp rounds, lexicographic bigram tiebreak.
+    from rex_spark.operators.curation import repetition_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return repetition_stats(d)
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PII detection + redaction fingerprint (operators/curation.py).
+    # Deterministic PII is INJECTED per doc_id residue classes (the
+    # organic corpus has none, which would make every count 0 and the
+    # test vacuous); both engines append the identical suffixes, so the
+    # oracle checks detection + the email->IP->phone redaction order.
+    from rex_spark.operators.curation import pii_stats
+
+    d = _docs(spark, sf_dir)
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.format_string(" contact: user%d@example.com", F.col("doc_id")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.format_string(
+                    " ip: 10.0.%d.%d", F.col("doc_id") % 256, F.col("doc_id") % 100
+                ),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.format_string(" tel: 555-123-%04d", F.col("doc_id") % 10000),
+            ).otherwise(""),
+        ).alias("content"),
+    )
+    return pii_stats(inj)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -1175,6 +1233,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_triangles": q_kg_triangles,
         "kg_clustering": q_kg_clustering,
         "positives_only": q_positives_only,
+        "decontaminate": q_decontaminate,
+        "repetition_stats": q_repetition_stats,
+        "pii_stats": q_pii_stats,
     }
 
 
@@ -2310,5 +2371,118 @@ def oracle_sql() -> dict[str, str]:
                            ELSE '' END AS path,
                    (len(la) - k) + (len(lb) - k) AS path_len
             FROM lab ORDER BY doc_id
+        """,
+        # Benchmark decontamination: word 8-grams (\s+ tokens, empties
+        # dropped) of docs vs the doc_id<10 "benchmark" set; count of
+        # DISTINCT shared grams per (doc, bench) pair. DuckDB range(a,b)
+        # is end-EXCLUSIVE and list slices are 1-based INCLUSIVE, so
+        # t[i:i+7] is the 8-token window starting at i.
+        "decontaminate": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            grams AS (
+              SELECT doc_id,
+                     unnest(CASE WHEN len(t) < 8 THEN [] ELSE
+                       list_transform(range(1, len(t) - 8 + 2),
+                                      i -> array_to_string(t[i:i+7], ' ')) END) AS gram
+              FROM toks
+            ),
+            bgrams AS (
+              SELECT DISTINCT doc_id AS bench_id, gram FROM grams WHERE doc_id < 10
+            )
+            SELECT g.doc_id, b.bench_id,
+                   CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared
+            FROM grams g JOIN bgrams b USING (gram)
+            GROUP BY 1, 2
+        """,
+        # Gopher-style repetition signals; same 6-dp rounds and
+        # (cnt DESC, bigram ASC) tiebreak as the engine.
+        "repetition_stats": r"""
+            WITH lines AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                                        x -> length(x) > 0)) AS line
+              FROM documents
+            ),
+            per_line AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+            line_stats AS (
+              SELECT doc_id,
+                     CAST(sum(cnt) AS BIGINT) AS n_lines,
+                     round((sum(cnt) - count(*))
+                           / greatest(CAST(sum(cnt) AS DOUBLE), 1.0), 6) AS dup_line_frac,
+                     round(sum(CASE WHEN cnt >= 2 THEN cnt * length(line) ELSE 0 END)
+                           / greatest(CAST(sum(cnt * length(line)) AS DOUBLE), 1.0),
+                           6) AS dup_line_char_frac
+              FROM per_line GROUP BY doc_id
+            ),
+            toks AS (
+              SELECT doc_id, length(text) AS n_chars,
+                     list_filter(string_split_regex(text, '\s+'),
+                                 x -> length(x) > 0) AS t
+              FROM documents
+            ),
+            bigrams AS (
+              SELECT doc_id, n_chars,
+                     unnest(CASE WHEN len(t) < 2 THEN [] ELSE
+                       list_transform(range(1, len(t)),
+                                      i -> t[i] || ' ' || t[i+1]) END) AS bigram
+              FROM toks
+            ),
+            per_gram AS (
+              SELECT doc_id, n_chars, bigram, count(*) AS cnt FROM bigrams GROUP BY 1, 2, 3
+            ),
+            top_gram AS (
+              SELECT doc_id, bigram AS top_bigram,
+                     round(cnt * length(bigram)
+                           / greatest(CAST(n_chars AS DOUBLE), 1.0), 6) AS top_bigram_frac,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY cnt DESC, bigram ASC) AS rn
+              FROM per_gram
+            )
+            SELECT l.doc_id, l.n_lines, l.dup_line_frac, l.dup_line_char_frac,
+                   t.top_bigram, coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM line_stats l LEFT JOIN (SELECT * FROM top_gram WHERE rn = 1) t
+            USING (doc_id)
+        """,
+        # PII detection over the injected corpus: counts + sha256 of the
+        # redacted text; redaction order email -> IP -> phone matches the
+        # engine contract. Patterns restricted to the Java/RE2-identical
+        # subset (classes, bounded reps, \b) — see operators/curation.py.
+        "pii_stats": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     text
+                     || CASE WHEN doc_id % 7 = 0
+                             THEN printf(' contact: user%d@example.com', doc_id)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 5 = 0
+                             THEN printf(' ip: 10.0.%d.%d', doc_id % 256, doc_id % 100)
+                             ELSE '' END
+                     || CASE WHEN doc_id % 11 = 0
+                             THEN printf(' tel: 555-123-%04d', doc_id % 10000)
+                             ELSE '' END AS content
+              FROM documents
+            )
+            SELECT doc_id,
+                   CAST(len(regexp_extract_all(content,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+                   CAST(len(regexp_extract_all(content,
+                     '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+                   CAST(len(regexp_extract_all(content,
+                     '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phones,
+                   sha256(
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(content,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                       '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
+                   ) AS redacted_sha256
+            FROM inj
         """,
     }

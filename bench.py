@@ -106,6 +106,9 @@ def main() -> None:
         "dep_paths",
         "constrain_triples_occurrences",
         "kg_triangles",
+        "decontaminate",
+        "repetition_stats",
+        "pii_stats",
     ]
 
     # warm the JVM + parquet footers once (not timed)

@@ -1,0 +1,199 @@
+"""Corpus-curation operators for training-data pipelines: benchmark
+decontamination, repetition-based quality signals, and PII detection.
+
+No reference counterpart (malcolmgreaves/rex stops at triple
+extraction); these are the standard curation passes a web-scale
+training-data pipeline runs next to dedup (``operators/dedup.py``) and
+quality scoring (``operators/textstats.py``). Everything here is pure
+JVM Column pipeline — no Python in any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- benchmark decontamination ---------------------------------------------
+
+
+def _word_ngrams(text_col: str, n: int) -> Column:
+    """Array of word n-grams (``\\s+`` tokens, empties dropped, space-
+    joined). Shorter-than-n docs yield an empty array — the guard
+    matters because ``sequence(1, 0)`` would DESCEND, not return []."""
+    toks = (
+        f"filter(split({text_col}, '\\\\s+'), x -> length(x) > 0)"
+    )
+    return F.expr(
+        f"case when size({toks}) < {n} then array() "
+        f"else transform(sequence(1, size({toks}) - {n} + 1), "
+        f"i -> array_join(slice({toks}, i, {n}), ' ')) end"
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    bench_text_col: str = "content",
+    bench_id_col: str = "bench_id",
+) -> DataFrame:
+    """Benchmark decontamination: find documents sharing any word
+    ``n``-gram with an eval/benchmark set — the contamination check every
+    LLM training pipeline runs before a corpus ships (13-grams in the
+    GPT-3/PaLM writeups; ``n`` is a parameter here so small test corpora
+    exercise real overlaps).
+
+    Returns ``(doc_id, bench_id, n_shared)`` — one row per contaminated
+    (document, benchmark item) pair with the count of DISTINCT shared
+    n-grams, so downstream can threshold or drop.
+
+    Scale shape: the benchmark side is small by construction (eval sets
+    are MBs; the corpus is the 100 TB side), so its distinct n-gram set
+    is **broadcast** — the corpus is scanned ONCE, exploded to n-grams,
+    and hash-joined map-side with zero shuffle on the big side; the only
+    exchange is the final (doc, bench) count-distinct aggregate, keyed
+    on a uniform digest-like pair. Never joins corpus-to-corpus.
+    """
+    doc_grams = docs.select(
+        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
+    )
+    bench_grams = (
+        benchmark.select(
+            F.col(bench_id_col), F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.countDistinct("gram").alias("n_shared"))
+    )
+
+
+# --- repetition signals (Gopher-style quality rules) ------------------------
+
+
+def repetition_stats(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher/
+    MassiveText quality rules: duplicate-line fraction, duplicate-line
+    CHARACTER fraction, and the character fraction covered by the most
+    frequent word 2-gram.
+
+    Returns ``(doc_id, n_lines, dup_line_frac, dup_line_char_frac,
+    top_bigram, top_bigram_frac)``; fractions rounded to 6 dp; bigram
+    ties broken lexicographically (count DESC, bigram ASC) so the result
+    is deterministic across engines. Documents with < 2 tokens get
+    ``top_bigram = NULL, top_bigram_frac = 0``.
+
+    Scale shape: lines and bigrams each take ONE explode + ONE
+    map-side-combined aggregate keyed by (doc, line/gram) — boilerplate
+    lines ("```", "import ...") repeat ACROSS documents but the
+    aggregation key includes the doc id, so no cross-doc hot key exists.
+    The per-doc rollups re-key to doc_id (uniform), and the final join
+    of the two small per-doc frames is doc_id-keyed. A per-row
+    higher-order-function formulation would avoid the shuffles but costs
+    O(lines²) per doc — quadratic in exactly the long documents that
+    matter at 100 TB — so the explode shape is the deliberate choice.
+    """
+    # -- line-level: duplicate-line fractions
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
+        ).alias("line"),
+    )
+    per_line = lines.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("cnt"))
+    line_stats = per_line.groupBy(id_col).agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.round(
+            (F.sum("cnt") - F.count(F.lit(1)))
+            / F.greatest(F.sum("cnt"), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.sum(F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("line")).otherwise(0))
+            / F.greatest(F.sum(F.col("cnt") * F.length("line")), F.lit(1)).cast("double"),
+            6,
+        ).alias("dup_line_char_frac"),
+    )
+
+    # -- bigram-level: top word-2-gram character coverage
+    bigrams = docs.select(
+        F.col(id_col),
+        F.length(text_col).cast("double").alias("n_chars"),
+        F.explode(_word_ngrams(text_col, 2)).alias("bigram"),
+    )
+    per_gram = bigrams.groupBy(id_col, "n_chars", "bigram").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("cnt"), F.asc("bigram"))
+    top_gram = (
+        per_gram.withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .select(
+            F.col(id_col),
+            F.col("bigram").alias("top_bigram"),
+            F.round(
+                F.col("cnt") * F.length("bigram") / F.greatest("n_chars", F.lit(1.0)),
+                6,
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+    return (
+        line_stats.join(top_gram, id_col, "left")
+        .withColumn("top_bigram_frac", F.coalesce("top_bigram_frac", F.lit(0.0)))
+        .select(
+            id_col, "n_lines", "dup_line_frac", "dup_line_char_frac",
+            "top_bigram", "top_bigram_frac",
+        )
+    )
+
+
+# --- PII detection / redaction ----------------------------------------------
+
+# Patterns kept to a regex subset with identical semantics in Java's
+# engine (Spark) and RE2 (DuckDB oracle): character classes, bounded
+# repetition, \b anchors — no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+
+
+def pii_stats(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document PII detection + redaction fingerprint: counts of
+    email / IPv4 / phone-number matches and the sha256 of the redacted
+    text (emails -> ``<EMAIL>``, then IPs -> ``<IP>``, then phones ->
+    ``<PHONE>`` — the order is part of the contract, since redacting
+    emails first removes digit runs a later pattern could half-match).
+
+    Returns ``(doc_id, n_emails, n_ipv4, n_phones, redacted_sha256)``.
+    The hash (not the redacted text) is the output so the operator works
+    as a verification column next to the pipeline's content-equality
+    invariant (``plans/materialize.py``).
+
+    Scale shape: pure per-row JVM Column expressions inside whole-stage
+    codegen — zero shuffle, zero Python; pushes down as a plain
+    projection over the corpus scan.
+    """
+    c = F.col(text_col)
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(IPV4_RE), 0)).cast("bigint").alias("n_ipv4"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("bigint").alias("n_phones"),
+        F.sha2(redacted, 256).alias("redacted_sha256"),
+    )

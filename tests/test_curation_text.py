@@ -1,0 +1,117 @@
+"""Text-curation operators: decontamination, repetition signals, PII.
+
+Edge cases the sf-data oracle can't isolate: shorter-than-n docs (the
+``sequence(1, 0)`` descending-range trap), duplicate-line fractions on
+crafted docs, bigram tie-breaking, PII redaction order and boundary
+behavior.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.curation import (
+    decontaminate,
+    pii_stats,
+    repetition_stats,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, content string")
+
+
+def test_decontaminate_finds_shared_ngrams(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "a b c d e f"),        # shares the 3-grams of the bench doc
+            (2, "x y z w v u"),        # disjoint
+            (3, "c d e junk a b c"),   # shares 'c d e' only
+        ],
+    )
+    bench = spark.createDataFrame(
+        [(100, "a b c d e")], "bench_id bigint, content string"
+    )
+    out = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in decontaminate(docs, bench, n=3).collect()
+    }
+    # bench 3-grams: 'a b c', 'b c d', 'c d e'
+    assert out == {(1, 100): 3, (3, 100): 2}
+
+
+def test_decontaminate_short_docs_yield_no_grams(spark):
+    # a doc with < n tokens must produce an EMPTY gram array — a naive
+    # sequence(1, size-n+1) would DESCEND and crash slice() on 0
+    docs = _df(spark, [(1, "a b"), (2, "")])
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id bigint, content string")
+    assert decontaminate(docs, bench, n=3).count() == 0
+
+
+def test_decontaminate_counts_distinct_not_occurrences(spark):
+    # 'a b c' appears twice in the doc but is ONE shared distinct gram
+    docs = _df(spark, [(1, "a b c q a b c")])
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id bigint, content string")
+    rows = decontaminate(docs, bench, n=3).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in rows] == [(1, 1)]
+
+
+def test_repetition_duplicate_lines(spark):
+    # 4 non-empty lines, 'dup' twice: dup_line_frac = (4-3)/4;
+    # dup chars = 2*3 of 3+5+5+3=16 line chars
+    doc = "dup\nother\nlong1\ndup\n\n"
+    out = repetition_stats(_df(spark, [(1, doc)])).collect()[0]
+    assert out["n_lines"] == 4
+    assert out["dup_line_frac"] == 0.25
+    assert out["dup_line_char_frac"] == 0.375
+
+
+def test_repetition_top_bigram_tiebreak_and_coverage(spark):
+    # bigrams of 'b a b a': 'b a' x2, 'a b' x1 -> top is 'b a' (count
+    # first); coverage = 2 * 3 / 7 chars
+    out = repetition_stats(_df(spark, [(1, "b a b a")])).collect()[0]
+    assert out["top_bigram"] == "b a"
+    assert out["top_bigram_frac"] == round(2 * 3 / 7, 6)
+    # pure tie (all counts 1) breaks lexicographically:
+    # bigrams of 'c b a' are {'c b', 'b a'} -> min is 'b a'
+    out2 = repetition_stats(_df(spark, [(2, "c b a")])).collect()[0]
+    assert out2["top_bigram"] == "b a"
+
+
+def test_repetition_single_token_doc_has_no_bigram(spark):
+    out = repetition_stats(_df(spark, [(1, "alone")])).collect()[0]
+    assert out["top_bigram"] is None
+    assert out["top_bigram_frac"] == 0.0
+    assert out["n_lines"] == 1 and out["dup_line_frac"] == 0.0
+
+
+def test_pii_counts_and_redaction_order(spark):
+    text = "mail a@b.co and c@d.io, host 10.0.0.1, call 555-123-4567 or 555.123.4567"
+    out = pii_stats(_df(spark, [(1, text)])).collect()[0]
+    assert out["n_emails"] == 2
+    assert out["n_ipv4"] == 1
+    assert out["n_phones"] == 2
+    red = (
+        "mail <EMAIL> and <EMAIL>, host <IP>, call <PHONE> or <PHONE>"
+    )
+    assert out["redacted_sha256"] == hashlib.sha256(red.encode()).hexdigest()
+
+
+def test_pii_ipv4_not_matched_inside_longer_number(spark):
+    # \b guards: '192.168.100.1234' is not an IPv4 hit; '1.2.3.4' is
+    out = pii_stats(
+        _df(spark, [(1, "x 192.168.100.1234 y"), (2, "x 1.2.3.4 y")])
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["n_ipv4"] == 0
+    assert by_id[2]["n_ipv4"] == 1
+
+
+def test_pii_clean_text_hash_is_identity(spark):
+    text = "nothing sensitive here"
+    out = pii_stats(_df(spark, [(1, text)])).collect()[0]
+    assert out["n_emails"] == out["n_ipv4"] == out["n_phones"] == 0
+    assert out["redacted_sha256"] == hashlib.sha256(text.encode()).hexdigest()
