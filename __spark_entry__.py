@@ -1181,6 +1181,60 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_stats(inj)
 
 
+def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # StarCoder-style code-quality filters (operators/curation.py):
+    # line-length stats, comment/indent fractions, alpha fraction,
+    # autogen flag — pure codegen projection, zero shuffle. Docs with no
+    # non-empty line are dropped (nothing to measure) in both engines.
+    from rex_spark.operators.curation import code_stats
+
+    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    return code_stats(d)
+
+
+def _banner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic license/autogen banner lines
+    prepended by doc_id residue class — the cross-doc boilerplate the
+    organic corpus lacks; the oracle mirrors the injection in SQL."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("// SPDX-License-Identifier: MIT\n"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("# auto-generated file, do not edit\n"),
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("content"),
+    )
+
+
+def q_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-document boilerplate detection (operators/curation.py):
+    # lines in >= 3 distinct docs over the banner-injected corpus. The
+    # (line, doc_id)-keyed distinct-then-count shape keeps the hottest
+    # banner line uniform across reducers.
+    from rex_spark.operators.curation import boilerplate_lines
+
+    return boilerplate_lines(_banner_docs(spark, sf_dir), min_docs=3)
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # End-to-end boilerplate removal: detect (>= 3 docs) then strip with
+    # order-preserving reassembly; broadcast marked left join (an
+    # anti-join would drop all-boilerplate docs). Output is the cleaned
+    # text per doc — the oracle strips via list_filter against the same
+    # detected set.
+    from rex_spark.operators.curation import boilerplate_lines, strip_boilerplate
+
+    inj = _banner_docs(spark, sf_dir)
+    return strip_boilerplate(inj, boilerplate_lines(inj, min_docs=3))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -1236,6 +1290,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate": q_decontaminate,
         "repetition_stats": q_repetition_stats,
         "pii_stats": q_pii_stats,
+        "code_stats": q_code_stats,
+        "boilerplate_lines": q_boilerplate_lines,
+        "strip_boilerplate": q_strip_boilerplate,
     }
 
 
@@ -2484,5 +2541,92 @@ def oracle_sql() -> dict[str, str]:
                        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '<PHONE>', 'g')
                    ) AS redacted_sha256
             FROM inj
+        """,
+        # StarCoder-style code-quality stats. ltrim in BOTH engines
+        # strips spaces only (a tab-indented comment is uncounted in
+        # both — the contracted behavior); LIKE wildcards are % and _
+        # so '*' and '/' are literal.
+        "code_stats": r"""
+            WITH lx AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                                 x -> length(x) > 0) AS lines
+              FROM documents
+            )
+            SELECT doc_id,
+              CAST(len(lines) AS BIGINT) AS n_lines,
+              CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+                AS max_line_len,
+              round(list_sum(list_transform(lines, x -> length(x)))
+                    / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS mean_line_len,
+              round(len(list_filter(lines, x ->
+                      ltrim(x) LIKE '#%' OR ltrim(x) LIKE '//%'
+                      OR ltrim(x) LIKE '--%' OR ltrim(x) LIKE '/*%'
+                      OR ltrim(x) LIKE '*%'))
+                    / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6)
+                AS comment_line_frac,
+              round(len(list_filter(lines, x -> x LIKE ' %' OR x LIKE chr(9) || '%'))
+                    / greatest(CAST(len(lines) AS DOUBLE), 1.0), 6) AS indent_frac,
+              round(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                    / greatest(CAST(length(text) AS DOUBLE), 1.0), 6) AS alpha_frac,
+              (contains(lower(text), 'auto-generated')
+               OR contains(lower(text), 'do not edit')) AS is_autogen
+            FROM lx WHERE len(lines) > 0
+        """,
+        # Cross-doc boilerplate over the banner-injected corpus:
+        # DISTINCT (doc, line) pairs first, then the per-line doc count.
+        "boilerplate_lines": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN '# auto-generated file, do not edit' || chr(10)
+                             ELSE '' END
+                     || text AS content
+              FROM documents
+            ),
+            pairs AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(string_split(content, chr(10)),
+                                        x -> length(x) > 0)) AS line
+              FROM inj
+            )
+            SELECT line, CAST(count(*) AS BIGINT) AS n_docs
+            FROM pairs GROUP BY line HAVING count(*) >= 3
+        """,
+        # Detect-then-strip end to end; the SQL strips via list_filter
+        # against the same detected set (scalar list subquery), which
+        # preserves line order by construction — the Spark side must
+        # reassemble the same order from its posexplode.
+        "strip_boilerplate": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '// SPDX-License-Identifier: MIT' || chr(10)
+                          ELSE '' END
+                     || CASE WHEN doc_id % 6 = 0
+                             THEN '# auto-generated file, do not edit' || chr(10)
+                             ELSE '' END
+                     || text AS content
+              FROM documents
+            ),
+            pairs AS (
+              SELECT DISTINCT doc_id,
+                     unnest(list_filter(string_split(content, chr(10)),
+                                        x -> length(x) > 0)) AS line
+              FROM inj
+            ),
+            bl AS (
+              SELECT line FROM pairs GROUP BY line HAVING count(*) >= 3
+            ),
+            bll AS (SELECT coalesce(list(line), []) AS blist FROM bl)
+            SELECT doc_id,
+                   array_to_string(
+                     list_filter(string_split(content, chr(10)),
+                                 x -> NOT list_contains(blist, x)),
+                     chr(10)) AS content
+            FROM inj, bll
         """,
     }

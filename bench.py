@@ -109,6 +109,8 @@ def main() -> None:
         "decontaminate",
         "repetition_stats",
         "pii_stats",
+        "code_stats",
+        "strip_boilerplate",
     ]
 
     # warm the JVM + parquet footers once (not timed)

@@ -197,3 +197,154 @@ def pii_stats(
         F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), 0)).cast("bigint").alias("n_phones"),
         F.sha2(redacted, 256).alias("redacted_sha256"),
     )
+
+
+# --- code-quality stats (StarCoder-style filters) ---------------------------
+
+
+def code_stats(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document code-quality signals in the style of the StarCoder/
+    The-Stack filtering rules — the curation pass for a SOURCE-CODE
+    corpus (the north rule's input is an Iceberg table of source-code
+    repositories): line-length stats, comment-line fraction, indentation
+    fraction, alphabetic-character fraction, and an auto-generated-file
+    flag.
+
+    Returns ``(doc_id, n_lines, max_line_len, mean_line_len,
+    comment_line_frac, indent_frac, alpha_frac, is_autogen)``;
+    fractions 6-dp. Comment lines = trimmed lines starting with ``#``,
+    ``//``, ``--``, ``/*`` or ``*``; docs with no non-empty lines are
+    dropped (nothing to measure), matching the oracle.
+
+    Scale shape: pure per-row JVM higher-order array functions — one
+    projection inside whole-stage codegen, zero shuffle, zero Python.
+    Unlike ``repetition_stats`` this needs no cross-line aggregation
+    beyond size/max/sum reductions, which ``aggregate``/``size`` do
+    per-row in O(lines).
+    """
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+    n = F.size(lines)
+    lens = F.transform(lines, F.length)
+    total_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    comment = F.size(
+        F.filter(
+            lines,
+            lambda x: F.ltrim(x).startswith("#")
+            | F.ltrim(x).startswith("//")
+            | F.ltrim(x).startswith("--")
+            | F.ltrim(x).startswith("/*")
+            | F.ltrim(x).startswith("*"),
+        )
+    )
+    indent = F.size(
+        F.filter(lines, lambda x: x.startswith(" ") | x.startswith("\t"))
+    )
+    alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    nd = F.greatest(n, F.lit(1)).cast("double")
+    return (
+        docs.where(n > 0)
+        .select(
+            F.col(id_col),
+            n.cast("bigint").alias("n_lines"),
+            F.array_max(lens).cast("bigint").alias("max_line_len"),
+            F.round(total_len / nd, 6).alias("mean_line_len"),
+            F.round(comment / nd, 6).alias("comment_line_frac"),
+            F.round(indent / nd, 6).alias("indent_frac"),
+            F.round(
+                alpha / F.greatest(F.length(c), F.lit(1)).cast("double"), 6
+            ).alias("alpha_frac"),
+            (
+                F.lower(c).contains("auto-generated")
+                | F.lower(c).contains("do not edit")
+            ).alias("is_autogen"),
+        )
+    )
+
+
+# --- cross-document boilerplate lines ----------------------------------------
+
+
+def boilerplate_lines(
+    docs: DataFrame,
+    min_docs: int = 3,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Lines appearing in at least ``min_docs`` DISTINCT documents —
+    headers, license banners, separators: the cross-document boilerplate
+    a web/code corpus carries into training data unless stripped.
+
+    Returns ``(line, n_docs)``.
+
+    Scale shape: the one curation signal whose natural key IS cross-doc
+    (a license banner line can appear in 10^9 documents). The distinct
+    happens FIRST on (line, doc_id) — doc_id in the key keeps even the
+    hottest line uniform across reducers — then the per-line doc count
+    is a map-side-combinable sum of ones, so the hot line arrives at its
+    final reducer as a handful of partial counts, never as raw rows.
+    Exactly the two-phase shape ``operators/skew.py`` uses for salted
+    aggregates, delivered here by the distinct + count composition.
+    """
+    pairs = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(F.split(F.col(text_col), "\n"), lambda x: F.length(x) > 0)
+        ).alias("line"),
+    ).distinct()
+    return (
+        pairs.groupBy("line")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Remove boilerplate lines from every document, preserving the
+    order of the surviving lines. Returns ``(doc_id, content)`` with the
+    cleaned text (empty lines inside the doc survive — only exact
+    boilerplate matches are dropped; docs whose every line was
+    boilerplate come back as the empty string).
+
+    Scale shape: the boilerplate set is small by construction (it
+    crossed a cross-corpus frequency threshold), so it broadcasts; the
+    corpus is posexploded ONCE, marked map-side by a broadcast LEFT join
+    (not an anti-join — an anti-join would silently DROP a document
+    whose every line is boilerplate), and reassembled with one doc-keyed
+    aggregate (``sort_array`` over (pos, line) structs restores order
+    without a sort exchange inside the group; ``collect_list`` skips the
+    NULLed boilerplate entries).
+    """
+    bl = F.broadcast(
+        boilerplate.select("line").distinct().withColumn("_bl", F.lit(1))
+    )
+    parts = docs.select(
+        F.col(id_col),
+        F.posexplode_outer(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    marked = parts.join(bl, "line", "left")
+    return (
+        marked.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("_bl").isNull(), F.struct("pos", "line")
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias(text_col)
+        )
+    )

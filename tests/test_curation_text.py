@@ -13,6 +13,9 @@ import hashlib
 from pyspark.sql import functions as F
 
 from rex_spark.operators.curation import (
+    boilerplate_lines,
+    code_stats,
+    strip_boilerplate,
     decontaminate,
     pii_stats,
     repetition_stats,
@@ -115,3 +118,49 @@ def test_pii_clean_text_hash_is_identity(spark):
     out = pii_stats(_df(spark, [(1, text)])).collect()[0]
     assert out["n_emails"] == out["n_ipv4"] == out["n_phones"] == 0
     assert out["redacted_sha256"] == hashlib.sha256(text.encode()).hexdigest()
+
+
+# --- code_stats / boilerplate ------------------------------------------------
+
+
+def test_code_stats_comment_and_indent_fractions(spark):
+    doc = "# c1\n  x = 1\n\t// not ltrimmed tab\nplain\n-- sql comment\n"
+    out = code_stats(_df(spark, [(1, doc)])).collect()[0]
+    # 5 non-empty lines; comments: '# c1', '-- sql comment' (the
+    # tab-indented '//' line is NOT counted — ltrim strips spaces only,
+    # the contracted cross-engine behavior)
+    assert out["n_lines"] == 5
+    assert out["comment_line_frac"] == 0.4
+    # indented: '  x = 1' and the tab line
+    assert out["indent_frac"] == 0.4
+    assert out["max_line_len"] == len("\t// not ltrimmed tab")
+
+
+def test_code_stats_autogen_flag_and_empty_doc_dropped(spark):
+    rows = [(1, "x\nAUTO-GENERATED by tool"), (2, "clean"), (3, "\n\n")]
+    out = {r["doc_id"]: r for r in code_stats(_df(spark, rows)).collect()}
+    assert out[1]["is_autogen"] is True
+    assert out[2]["is_autogen"] is False
+    assert 3 not in out  # no non-empty lines -> dropped
+
+
+def test_boilerplate_counts_distinct_docs_not_occurrences(spark):
+    # 'bp' twice inside doc 1 still counts ONE doc; threshold 2 needs
+    # two distinct docs
+    rows = [(1, "bp\nx\nbp"), (2, "bp\ny"), (3, "z")]
+    out = {r["line"]: r["n_docs"] for r in
+           boilerplate_lines(_df(spark, rows), min_docs=2).collect()}
+    assert out == {"bp": 2}
+
+
+def test_strip_boilerplate_preserves_order_and_keeps_empty_doc(spark):
+    rows = [(1, "bp\nkeep1\n\nkeep2\nbp"), (2, "bp\nbp"), (3, "bp\nother")]
+    bl = spark.createDataFrame([("bp",)], "line string")
+    out = {r["doc_id"]: r["content"] for r in
+           strip_boilerplate(_df(spark, rows), bl).collect()}
+    # interior empty line survives; order preserved
+    assert out[1] == "keep1\n\nkeep2"
+    # a doc whose EVERY line is boilerplate comes back as the empty
+    # string, not a dropped doc_id (the anti-join trap)
+    assert out[2] == ""
+    assert out[3] == "other"
