@@ -109,3 +109,72 @@ def test_tfidf_single_explode_single_corpus_aggregate(spark, tmp_path):
     assert plan.count("Scan parquet") <= 2, plan[:2000]
     # the top-k window keeps Spark's rank-limit pushdown
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_decontaminate_broadcasts_benchmark_single_corpus_scan(spark, tmp_path):
+    # The 100 TB corpus side must reach the gram join with ZERO exchange
+    # (benchmark gram set broadcast); the corpus parquet is scanned once.
+    from rex_spark.operators.curation import decontaminate
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "w" + " ".join(f"t{i}x{j}" for j in range(12))) for i in range(30)],
+        "doc_id long, text string",
+    ).write.parquet(p)
+    docs = spark.read.parquet(p).select("doc_id", F.col("text").alias("content"))
+    bench = docs.where("doc_id < 3").select(
+        F.col("doc_id").alias("bench_id"), "content"
+    )
+    plan = _plan(decontaminate(docs, bench, n=8))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # the join's LEFT child (printed between BroadcastHashJoin and
+    # BroadcastExchange in tree order) is the corpus subtree: it must be
+    # exchange-free — the only shuffles in the whole plan are the two
+    # count-distinct aggregates downstream of the join
+    corpus_side = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side, plan[:2000]
+    # no shuffle is keyed on gram alone — i.e. the gram join is never a
+    # shuffle join (the only gram-keyed exchange is the tiny benchmark
+    # distinct inside the BroadcastExchange subtree)
+    big_plan = plan.split("BroadcastExchange")[0]
+    assert "hashpartitioning(gram" not in big_plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_pii_stats_is_pure_projection(spark, tmp_path):
+    # pii_stats must compile to a zero-exchange, zero-Python projection
+    # over the scan (whole-stage codegen path).
+    from rex_spark.operators.curation import pii_stats
+
+    p = str(tmp_path / "pdocs")
+    spark.createDataFrame(
+        [(i, f"text {i} a@b.co") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p).select("doc_id", F.col("text").alias("content"))
+    plan = _plan(pii_stats(docs))
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Python" not in plan, plan[:2000]
+    # whole-stage codegen shows as the '*(n)' stage prefix in the
+    # executedPlan string
+    assert plan.lstrip().startswith("*("), plan[:2000]
+
+
+def test_strip_boilerplate_marked_left_join_is_broadcast(spark, tmp_path):
+    # The boilerplate set broadcasts; no shuffle on the exploded corpus
+    # before the join, exactly one doc-keyed aggregate after it.
+    from rex_spark.operators.curation import strip_boilerplate
+
+    p = str(tmp_path / "bdocs")
+    spark.createDataFrame(
+        [(i, "bp\nkeep\nbp") for i in range(10)], "doc_id long, text string"
+    ).write.parquet(p)
+    docs = spark.read.parquet(p).select("doc_id", F.col("text").alias("content"))
+    bl = spark.createDataFrame([("bp",)], "line string")
+    plan = _plan(strip_boilerplate(docs, bl))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    # corpus subtree (left child of the join) exchange-free; exactly one
+    # doc-keyed shuffle (the reassembly aggregate) — the line-keyed
+    # exchange sits inside the tiny broadcast-build subtree
+    corpus_side = plan.split("BroadcastHashJoin")[1].split("BroadcastExchange")[0]
+    assert "Exchange" not in corpus_side, plan[:2000]
+    assert plan.count("hashpartitioning(doc_id") == 1, plan[:2000]
