@@ -16,17 +16,26 @@ from pyspark.sql import functions as F
 # --- benchmark decontamination ---------------------------------------------
 
 
-def _word_ngrams(text_col: str, n: int) -> Column:
-    """Array of word n-grams (``\\s+`` tokens, empties dropped, space-
-    joined). Shorter-than-n docs yield an empty array — the guard
-    matters because ``sequence(1, 0)`` would DESCEND, not return []."""
-    toks = (
-        f"filter(split({text_col}, '\\\\s+'), x -> length(x) > 0)"
+def _word_tokens(text_col: str) -> Column:
+    """``\\s+`` tokens with empties dropped. Callers must project this
+    into a real column BEFORE building n-grams from it — inlining the
+    split+filter expression inside the gram lambda would re-tokenize
+    the document once per window position, O(tokens²) per doc (measured
+    ~4x on the sf0.1 bench before the hoist)."""
+    return F.filter(
+        F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0
     )
+
+
+def _word_ngrams_from(tokens_col: str, n: int) -> Column:
+    """Array of word n-grams over an ALREADY-PROJECTED token-array
+    column (space-joined). Shorter-than-n docs yield an empty array —
+    the guard matters because ``sequence(1, 0)`` would DESCEND, not
+    return []."""
     return F.expr(
-        f"case when size({toks}) < {n} then array() "
-        f"else transform(sequence(1, size({toks}) - {n} + 1), "
-        f"i -> array_join(slice({toks}, i, {n}), ' ')) end"
+        f"case when size({tokens_col}) < {n} then array() "
+        f"else transform(sequence(1, size({tokens_col}) - {n} + 1), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')) end"
     )
 
 
@@ -57,11 +66,14 @@ def decontaminate(
     on a uniform digest-like pair. Never joins corpus-to-corpus.
     """
     doc_grams = docs.select(
-        F.col(id_col), F.explode(_word_ngrams(text_col, n)).alias("gram")
-    )
+        F.col(id_col), _word_tokens(text_col).alias("_toks")
+    ).select(F.col(id_col), F.explode(_word_ngrams_from("_toks", n)).alias("gram"))
     bench_grams = (
         benchmark.select(
-            F.col(bench_id_col), F.explode(_word_ngrams(bench_text_col, n)).alias("gram")
+            F.col(bench_id_col), _word_tokens(bench_text_col).alias("_toks")
+        )
+        .select(
+            F.col(bench_id_col), F.explode(_word_ngrams_from("_toks", n)).alias("gram")
         )
         .distinct()
     )
@@ -125,7 +137,11 @@ def repetition_stats(
     bigrams = docs.select(
         F.col(id_col),
         F.length(text_col).cast("double").alias("n_chars"),
-        F.explode(_word_ngrams(text_col, 2)).alias("bigram"),
+        _word_tokens(text_col).alias("_toks"),
+    ).select(
+        F.col(id_col),
+        "n_chars",
+        F.explode(_word_ngrams_from("_toks", 2)).alias("bigram"),
     )
     per_gram = bigrams.groupBy(id_col, "n_chars", "bigram").agg(
         F.count(F.lit(1)).alias("cnt")
