@@ -327,7 +327,10 @@ def strip_boilerplate(
     order of the surviving lines. Returns ``(doc_id, content)`` with the
     cleaned text (empty lines inside the doc survive — only exact
     boilerplate matches are dropped; docs whose every line was
-    boilerplate come back as the empty string).
+    boilerplate come back as the empty string; a NULL ``content`` also
+    comes back as the empty string — ``array_join`` skips the NULL
+    entry — matching the "never drop a doc_id" contract of
+    ``multimodal.extract_media_info``).
 
     Scale shape: the boilerplate set is small by construction (it
     crossed a cross-corpus frequency threshold), so it broadcasts; the
