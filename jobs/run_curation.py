@@ -21,6 +21,16 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--out", required=True)
     ap.add_argument("--text-col", default=None)
     ap.add_argument("--min-jaccard", type=float, default=0.5)
+    ap.add_argument(
+        "--strip-boilerplate", type=int, default=None, metavar="MIN_DOCS",
+        help="strip lines appearing in >= MIN_DOCS docs before curation",
+    )
+    ap.add_argument(
+        "--benchmark", default=None,
+        help="parquet of benchmark/eval docs; curated docs sharing any "
+        "word n-gram with it are dropped (decontamination stage)",
+    )
+    ap.add_argument("--decontaminate-n", type=int, default=8)
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -37,8 +47,23 @@ def main(argv: list[str] | None = None) -> None:
         docs = spark.read.parquet(args.input)
         text_col = args.text_col or ("content" if "content" in docs.columns else "text")
 
+    benchmark = None
+    if args.benchmark:
+        from pyspark.sql import functions as F
+
+        b = spark.read.parquet(args.benchmark)
+        bt = text_col if text_col in b.columns else (
+            "content" if "content" in b.columns else "text"
+        )
+        bid = b.columns[0] if "bench_id" not in b.columns else "bench_id"
+        benchmark = b.select(
+            F.col(bid).alias("bench_id"), F.col(bt).alias(text_col)
+        )
+
     curated = curate_corpus(
-        spark, docs, args.out, text_col=text_col, min_jaccard=args.min_jaccard
+        spark, docs, args.out, text_col=text_col, min_jaccard=args.min_jaccard,
+        boilerplate_min_docs=args.strip_boilerplate, benchmark=benchmark,
+        decontaminate_n=args.decontaminate_n,
     )
     print(json.dumps({"out": args.out, "n_in": docs.count(), "n_curated": curated.count()}))
     spark.stop()

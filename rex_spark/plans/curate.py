@@ -1,6 +1,9 @@
 """Staged, resumable corpus curation (the training-data side of the
 engine; no reference counterpart — rex consumes a ready corpus).
 
+  stage 0  stripped — OPTIONAL (boilerplate_min_docs): cross-doc
+                      boilerplate lines removed before anything else
+                      sees the text
   stage 1  stats    — per-doc quality / token / fingerprint / language
                       columns (one narrow pass; lang-ID is the only
                       Python stage)
@@ -9,6 +12,8 @@ engine; no reference counterpart — rex consumes a ready corpus).
   stage 4  curated  — the filtered corpus: exact-dup non-keepers and
                       near-dup losers dropped (loser = larger doc_id),
                       quality gates applied
+  stage 5  decon    — OPTIONAL (benchmark): docs sharing any word
+                      n-gram with the eval/benchmark set dropped
 
 Each stage lands as a checkpointed table with manifest + per-partition
 lineage (sources/catalog.py); a killed run resumes from the last
@@ -26,6 +31,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.curation import boilerplate_lines, decontaminate, strip_boilerplate
 from ..operators.dedup import exact_dedup, minhash_lsh_candidates, verify_jaccard
 from ..operators.textstats import detect_language, quality_cols, token_count_cols
 from ..sources.catalog import resume_or_run
@@ -42,16 +48,54 @@ def curate_corpus(
     n_bands: int = 20,
     min_quality_distinct_ratio: float = 0.05,
     max_stopword_ratio: float = 0.9,
+    boilerplate_min_docs: int | None = None,
+    benchmark: DataFrame | None = None,
+    decontaminate_n: int = 8,
 ) -> DataFrame:
     """Run (or resume) the staged curation; returns the curated corpus
-    read back from its checkpoint table."""
+    read back from its checkpoint table.
+
+    Two OPTIONAL stages (off by default — existing checkpoints resume
+    unchanged; turning either on changes the config echo, which
+    invalidates downstream stages):
+
+    - ``boilerplate_min_docs``: a ``stripped`` stage runs FIRST —
+      cross-doc boilerplate lines (license banners, headers) removed
+      before stats/dedup ever see the text, so a shared banner can't
+      dominate MinHash signatures or quality ratios.
+    - ``benchmark`` (+ ``decontaminate_n``): a ``decon`` stage runs
+      LAST — curated docs sharing any word n-gram with the benchmark
+      set are dropped (eval-set contamination). The benchmark frame
+      needs (bench_id, <text_col>) columns.
+    """
     echo = {
         "min_jaccard": min_jaccard,
         "n_hashes": n_hashes,
         "n_bands": n_bands,
         "min_quality_distinct_ratio": min_quality_distinct_ratio,
         "max_stopword_ratio": max_stopword_ratio,
+        "boilerplate_min_docs": boilerplate_min_docs,
+        "decontaminate": benchmark is not None,
+        "decontaminate_n": decontaminate_n,
     }
+
+    if boilerplate_min_docs is not None:
+        raw = docs
+
+        def build_stripped() -> DataFrame:
+            bl = boilerplate_lines(
+                raw, min_docs=boilerplate_min_docs, text_col=text_col, id_col=id_col
+            )
+            cleaned = strip_boilerplate(raw, bl, text_col=text_col, id_col=id_col)
+            # re-attach the non-text columns (strip returns id + text
+            # only); one co-keyed shuffle join on the uniform doc id —
+            # paid once, checkpointed by the stage
+            return raw.drop(text_col).join(cleaned, id_col)
+
+        docs = resume_or_run(
+            spark, os.path.join(out_dir, "stripped"), "stripped", build_stripped,
+            config_echo=echo,
+        )
 
     stats = resume_or_run(
         spark,
@@ -150,7 +194,24 @@ def curate_corpus(
         )
         return gated.drop("distinct_token_ratio", "stopword_ratio")
 
-    return resume_or_run(
+    curated = resume_or_run(
         spark, os.path.join(out_dir, "curated"), "curated", build_curated,
+        config_echo=echo,
+    )
+    if benchmark is None:
+        return curated
+
+    def build_decon() -> DataFrame:
+        hits = decontaminate(
+            curated, benchmark, n=decontaminate_n,
+            text_col=text_col, id_col=id_col, bench_text_col=text_col,
+        )
+        # contaminated set is small relative to the corpus (it overlaps
+        # a fixed eval set); no broadcast hint — AQE decides, as in the
+        # exact-dup keeper join above
+        return curated.join(hits.select(id_col).distinct(), id_col, "left_anti")
+
+    return resume_or_run(
+        spark, os.path.join(out_dir, "decon"), "decon", build_decon,
         config_echo=echo,
     )

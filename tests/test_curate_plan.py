@@ -62,3 +62,46 @@ def test_curate_corpus_resumes(spark, tmp_path):
         for s in ("stats", "dedup", "neardup", "curated")
     }
     assert mtimes3 != mtimes2
+
+
+def test_curate_optional_strip_and_decon_stages(spark, tmp_path):
+    out = str(tmp_path / "cur3")
+    # every doc carries the same banner line -> boilerplate at
+    # min_docs=3; doc 5's distinctive filler doubles as the "benchmark"
+    rows = []
+    for i in range(12):
+        filler = " ".join(f"d{i}w{j}q{(i * 7 + j) % 13}" for j in range(24))
+        rows.append((i, f"// LICENSE BANNER\nbody {i}\n{filler}"))
+    docs = spark.createDataFrame(rows, "doc_id long, content string")
+    bench = spark.createDataFrame(
+        [(0, rows[5][1].split("\n")[2])], "bench_id long, content string"
+    )
+
+    curated = curate_corpus(
+        spark, docs, out, min_jaccard=0.95,
+        boilerplate_min_docs=3, benchmark=bench, decontaminate_n=8,
+    )
+    got = {r["doc_id"]: r["content"] for r in curated.collect()}
+    # the contaminated doc is gone; everyone else survives
+    assert 5 not in got
+    assert set(got) == set(range(12)) - {5}
+    # the banner line was stripped BEFORE stats/dedup
+    assert all("LICENSE BANNER" not in t for t in got.values())
+    for stage in ("stripped", "stats", "dedup", "neardup", "curated", "decon"):
+        assert os.path.exists(os.path.join(out, stage, "_rex_manifest.json")), stage
+
+    # resume: second identical call rebuilds nothing
+    m1 = {
+        s: os.path.getmtime(os.path.join(out, s, "_rex_manifest.json"))
+        for s in ("stripped", "curated", "decon")
+    }
+    again = curate_corpus(
+        spark, docs, out, min_jaccard=0.95,
+        boilerplate_min_docs=3, benchmark=bench, decontaminate_n=8,
+    )
+    assert {r["doc_id"] for r in again.collect()} == set(got)
+    m2 = {
+        s: os.path.getmtime(os.path.join(out, s, "_rex_manifest.json"))
+        for s in ("stripped", "curated", "decon")
+    }
+    assert m1 == m2
