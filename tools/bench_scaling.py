@@ -82,6 +82,10 @@ def worker(job: str, cpus: int) -> None:
         d = os.path.join(os.environ["REX_SCALE_LOCAL_DIR"], f"rex_local_{job}_{cpus}")
         os.makedirs(d, exist_ok=True)
         extra["spark.local.dir"] = d
+    # REX_SCALE_EXTRA_CONF: JSON dict of session confs for one-off A/B
+    # experiments (e.g. parquet codec) without editing the harness.
+    if os.environ.get("REX_SCALE_EXTRA_CONF"):
+        extra.update(json.loads(os.environ["REX_SCALE_EXTRA_CONF"]))
     spark = get_spark(f"rex-scale-{job}-{cpus}", master=f"local[{cpus}]",
                       shuffle_partitions=64, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
