@@ -1235,6 +1235,90 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_boilerplate(inj, boilerplate_lines(inj, min_docs=3))
 
 
+def _import_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with deterministic import/include/require statements
+    prepended by doc_id residue class — the code-import structure the
+    organic corpus lacks; the oracle mirrors the injection in SQL. The
+    c_include line carries leading spaces to pin the ltrim-before-match
+    contract; the es_import line also exercises the bare-import
+    prefix NOT matching (next char is '{', outside [A-Za-z_])."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("import numpy\n")).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("from collections import defaultdict\n"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 5 == 0, F.lit("  #include <stdio.h>\n")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("const fs = require('fs')\n")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit("import { join } from './util'\n")
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("content"),
+    )
+
+
+def q_import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Import/include/require edge extraction from the code corpus
+    # (operators/codegraph.py): split + one explode + a constant regexp
+    # battery, all whole-stage codegen, zero shuffle — the KG-from-code
+    # pass over the north rule's source-code input shape.
+    from rex_spark.operators.codegraph import import_edges
+
+    return import_edges(_import_docs(spark, sf_dir), repo_col="source")
+
+
+def q_module_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Module dependency summary over the extracted edges: two-phase
+    # (module, kind, importer)-keyed aggregate so a corpus-hot module
+    # ('everyone imports numpy') never lands raw on one reducer.
+    from rex_spark.operators.codegraph import import_edges, module_summary
+
+    edges = import_edges(_import_docs(spark, sf_dir), repo_col="source")
+    return module_summary(edges, importer_col="source")
+
+
+def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # License detection (operators/curation.py): SPDX tag wins over
+    # phrase fallbacks (the %4 docs carry BOTH a BSD-3-Clause SPDX tag
+    # and, at %20, the MIT phrase — pinning the priority), aggregated to
+    # (license, n_docs). Pure projection + one tiny aggregate.
+    from rex_spark.operators.curation import detect_license
+
+    d = _docs(spark, sf_dir)
+    inj = d.select(
+        "doc_id",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 4 == 0,
+                F.lit("// SPDX-License-Identifier: BSD-3-Clause\n"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 6 == 0,
+                F.lit("/* Licensed under the Apache License, Version 2.0 */\n"),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 20 == 0,
+                F.lit("Permission is hereby granted, free of charge\n"),
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("content"),
+    )
+    return (
+        detect_license(inj)
+        .groupBy("license")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "mentions": q_mentions,
@@ -1293,6 +1377,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_stats": q_code_stats,
         "boilerplate_lines": q_boilerplate_lines,
         "strip_boilerplate": q_strip_boilerplate,
+        "import_edges": q_import_edges,
+        "module_summary": q_module_summary,
+        "license_scan": q_license_scan,
     }
 
 
@@ -2628,5 +2715,164 @@ def oracle_sql() -> dict[str, str]:
                                  x -> NOT list_contains(blist, x)),
                      chr(10)) AS content
             FROM inj, bll
+        """,
+        # Import-edge extraction over the injection-mirrored corpus.
+        # Patterns are byte-identical to codegraph.IMPORT_PATTERNS and
+        # restricted to the Java/RE2-identical subset; both engines
+        # return '' on no-match, filtered at the end.
+        "import_edges": r"""
+            WITH inj AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'import numpy' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN 'from collections import defaultdict' || chr(10)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '  #include <stdio.h>' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN 'const fs = require(''fs'')' || chr(10)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN 'import { join } from ''./util''' || chr(10)
+                          ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source,
+                     ltrim(unnest(string_split(content, chr(10)))) AS line
+              FROM inj
+            ),
+            edges AS (
+              SELECT doc_id, source, 'py_import' AS kind,
+                     regexp_extract(line,
+                       '^import\s+([A-Za-z_][A-Za-z0-9_.]*)', 1) AS module
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'py_from',
+                     regexp_extract(line,
+                       '^from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import', 1)
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'c_include',
+                     regexp_extract(line,
+                       '^#\s*include\s*[<"]([A-Za-z0-9_./-]+)[>"]', 1)
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'js_require',
+                     regexp_extract(line,
+                       'require\([''"]([A-Za-z0-9_./@-]+)[''"]\)', 1)
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'es_import',
+                     regexp_extract(line,
+                       '^import\s.*\sfrom\s+[''"]([A-Za-z0-9_./@-]+)[''"]', 1)
+              FROM lines
+            )
+            SELECT doc_id, source, kind, module FROM edges WHERE module <> ''
+        """,
+        "module_summary": r"""
+            WITH inj AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'import numpy' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN 'from collections import defaultdict' || chr(10)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '  #include <stdio.h>' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN 'const fs = require(''fs'')' || chr(10)
+                          ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN 'import { join } from ''./util''' || chr(10)
+                          ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source,
+                     ltrim(unnest(string_split(content, chr(10)))) AS line
+              FROM inj
+            ),
+            edges AS (
+              SELECT source, 'py_import' AS kind,
+                     regexp_extract(line,
+                       '^import\s+([A-Za-z_][A-Za-z0-9_.]*)', 1) AS module
+              FROM lines
+              UNION ALL
+              SELECT source, 'py_from',
+                     regexp_extract(line,
+                       '^from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import', 1)
+              FROM lines
+              UNION ALL
+              SELECT source, 'c_include',
+                     regexp_extract(line,
+                       '^#\s*include\s*[<"]([A-Za-z0-9_./-]+)[>"]', 1)
+              FROM lines
+              UNION ALL
+              SELECT source, 'js_require',
+                     regexp_extract(line,
+                       'require\([''"]([A-Za-z0-9_./@-]+)[''"]\)', 1)
+              FROM lines
+              UNION ALL
+              SELECT source, 'es_import',
+                     regexp_extract(line,
+                       '^import\s.*\sfrom\s+[''"]([A-Za-z0-9_./@-]+)[''"]', 1)
+              FROM lines
+            ),
+            per AS (
+              SELECT module, kind, source, count(*) AS n
+              FROM edges WHERE module <> ''
+              GROUP BY module, kind, source
+            )
+            SELECT module, kind,
+                   CAST(count(*) AS BIGINT) AS n_importers,
+                   CAST(sum(n) AS BIGINT) AS n_imports
+            FROM per GROUP BY module, kind
+        """,
+        # CASE order mirrors curation.LICENSE_PHRASES; the SPDX branch
+        # wins first, exactly as detect_license's outermost when.
+        "license_scan": r"""
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 4 = 0
+                          THEN '// SPDX-License-Identifier: BSD-3-Clause'
+                               || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 6 = 0
+                          THEN '/* Licensed under the Apache License, Version 2.0 */'
+                               || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 20 = 0
+                          THEN 'Permission is hereby granted, free of charge'
+                               || chr(10) ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            lic AS (
+              SELECT doc_id,
+                     CASE
+                       WHEN regexp_extract(content,
+                         'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1) <> ''
+                       THEN regexp_extract(content,
+                         'SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)', 1)
+                       WHEN contains(content,
+                         'Permission is hereby granted, free of charge')
+                       THEN 'MIT'
+                       WHEN contains(content, 'Apache License, Version 2.0')
+                       THEN 'Apache-2.0'
+                       WHEN contains(content, 'GNU General Public License')
+                       THEN 'GPL'
+                       WHEN contains(content, 'Mozilla Public License')
+                       THEN 'MPL-2.0'
+                       WHEN contains(content,
+                         'Redistribution and use in source and binary forms')
+                       THEN 'BSD'
+                       ELSE 'unknown'
+                     END AS license
+              FROM inj
+            )
+            SELECT license, CAST(count(*) AS BIGINT) AS n_docs
+            FROM lic GROUP BY license
         """,
     }

@@ -1,0 +1,103 @@
+"""Code-dependency graph extraction: import/include edges from a
+source-code corpus and the module-level dependency summary over them.
+
+No reference counterpart (malcolmgreaves/rex extracts natural-language
+relation triples); this is the KG-from-code pass the north rule's input
+shape (an Iceberg table of source-code repositories) invites: every
+``import``/``#include``/``require`` statement is a (repo, module) edge,
+and the aggregate module graph is what powers dependency search,
+most-depended-on ranking (feed ``module_summary`` output into
+``operators/graph.py``'s pagerank), and license-risk propagation.
+
+Everything here is pure JVM Column pipeline — explode + regexp inside
+whole-stage codegen, no Python in any hot path. Patterns are restricted
+to the Java/RE2-identical regex subset (character classes, ``\\s``,
+anchors — no lookarounds, no backrefs) so the DuckDB oracle twin agrees
+match-for-match.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# (kind, pattern-with-one-capture-group) applied to each LTRIMMED line.
+# Kinds are independent: a line matching two patterns emits two edges
+# (rare — e.g. an ES-module ``import x from 'y'`` also matches the
+# bare-import prefix), deterministically in both engines.
+IMPORT_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("py_import", r"^import\s+([A-Za-z_][A-Za-z0-9_.]*)"),
+    ("py_from", r"^from\s+([A-Za-z_][A-Za-z0-9_.]*)\s+import"),
+    ("c_include", r"^#\s*include\s*[<\"]([A-Za-z0-9_./-]+)[>\"]"),
+    ("js_require", r"require\(['\"]([A-Za-z0-9_./@-]+)['\"]\)"),
+    ("es_import", r"^import\s.*\sfrom\s+['\"]([A-Za-z0-9_./@-]+)['\"]"),
+)
+
+
+def import_edges(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    repo_col: str | None = None,
+) -> DataFrame:
+    """Extract import/include/require edges from every document.
+
+    Returns ``(doc_id[, repo], kind, module)`` — one row per matching
+    line per pattern; a line that matches nothing emits nothing. Lines
+    are left-trimmed before matching (indented imports inside
+    conditionals still count; column-0 anchoring distinguishes the
+    statement forms from prose mentioning the keyword).
+
+    Scale shape: split + one explode + K regexp_extract projections
+    fused into whole-stage codegen — a single narrow pass over the
+    corpus, zero shuffle, zero Python. The per-line pattern battery is
+    a constant (len(IMPORT_PATTERNS)) so cost is O(lines x K) with
+    vectorized regex evaluation JVM-side.
+    """
+    keep = [F.col(id_col)] + ([F.col(repo_col)] if repo_col else [])
+    lines = docs.select(
+        *keep,
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select(*keep, F.ltrim(F.col("_raw")).alias("_line"))
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.regexp_extract(F.col("_line"), pat, 1).alias("module"),
+                )
+                for kind, pat in IMPORT_PATTERNS
+            ]
+        ),
+        lambda s: s["module"] != "",
+    )
+    return lines.select(*keep, F.explode(hits).alias("_hit")).select(
+        *keep,
+        F.col("_hit.kind").alias("kind"),
+        F.col("_hit.module").alias("module"),
+    )
+
+
+def module_summary(
+    edges: DataFrame, importer_col: str = "doc_id"
+) -> DataFrame:
+    """Aggregate the edge list into the module dependency summary:
+    ``(module, kind, n_importers, n_imports)`` — distinct importers
+    (repos or docs, per ``importer_col``) and total import statements.
+
+    Scale shape: a hot module (every repo imports ``numpy``) is exactly
+    the boilerplate-line skew case, so the same two-phase shape as
+    ``curation.boilerplate_lines``: first a map-side-combinable count
+    keyed on (module, kind, importer) — the importer in the key keeps
+    even the hottest module uniform across reducers — then the summary
+    aggregate over the already-tiny per-importer rows. Both shuffles
+    carry partial aggregates, never raw edge rows; no count-distinct
+    Expand plan (which would double the first shuffle's width).
+    """
+    per_importer = edges.groupBy("module", "kind", importer_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    return per_importer.groupBy("module", "kind").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_importers"),
+        F.sum("_n").cast("bigint").alias("n_imports"),
+    )

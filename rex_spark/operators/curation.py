@@ -367,3 +367,43 @@ def strip_boilerplate(
             ).alias(text_col)
         )
     )
+
+
+# --- license detection --------------------------------------------------------
+
+# (license, phrase) fallbacks checked IN ORDER when no SPDX tag exists;
+# phrases are the canonical identifying sentences of each license text.
+LICENSE_PHRASES: tuple[tuple[str, str], ...] = (
+    ("MIT", "Permission is hereby granted, free of charge"),
+    ("Apache-2.0", "Apache License, Version 2.0"),
+    ("GPL", "GNU General Public License"),
+    ("MPL-2.0", "Mozilla Public License"),
+    ("BSD", "Redistribution and use in source and binary forms"),
+)
+
+_SPDX_PATTERN = r"SPDX-License-Identifier:\s*([A-Za-z0-9.+-]+)"
+
+
+def detect_license(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document license detection for a source-code corpus — the
+    curation gate that decides whether a file may enter training data
+    at all (The-Stack/StarCoder keep only permissive licenses).
+
+    Returns ``(doc_id, license)``: the SPDX tag value when an
+    ``SPDX-License-Identifier:`` header is present (machine-readable
+    form wins), else the first matching canonical license phrase from
+    ``LICENSE_PHRASES``, else ``'unknown'``. The SPDX regex sticks to
+    the Java/RE2-identical subset so the DuckDB oracle twin agrees.
+
+    Scale shape: one regexp_extract + a constant battery of substring
+    tests, all fused into a single whole-stage-codegen projection —
+    zero shuffle, zero Python.
+    """
+    spdx = F.regexp_extract(F.col(text_col), _SPDX_PATTERN, 1)
+    expr = F.lit("unknown")
+    for lic, phrase in reversed(LICENSE_PHRASES):
+        expr = F.when(F.col(text_col).contains(phrase), F.lit(lic)).otherwise(expr)
+    expr = F.when(spdx != "", spdx).otherwise(expr)
+    return docs.select(F.col(id_col), expr.alias("license"))

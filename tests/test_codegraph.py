@@ -1,0 +1,125 @@
+"""Import-edge extraction + module dependency summary
+(rex_spark/operators/codegraph.py) and license detection
+(curation.detect_license)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.codegraph import import_edges, module_summary
+from rex_spark.operators.curation import detect_license
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, repo string, content string")
+
+
+def test_import_edges_all_five_kinds(spark):
+    content = "\n".join(
+        [
+            "import numpy",
+            "from collections import defaultdict",
+            '#include "local.h"',
+            "  #include <stdio.h>",  # indented: ltrim-before-match
+            "const fs = require('fs')",
+            'import { join } from "./util"',
+        ]
+    )
+    out = import_edges(_docs(spark, [(1, "r1", content)]), repo_col="repo")
+    got = {(r["kind"], r["module"]) for r in out.collect()}
+    assert got == {
+        ("py_import", "numpy"),
+        ("py_from", "collections"),
+        ("c_include", "local.h"),
+        ("c_include", "stdio.h"),
+        ("js_require", "fs"),
+        ("es_import", "./util"),
+    }
+
+
+def test_import_edges_prose_and_midline_do_not_match(spark):
+    content = "\n".join(
+        [
+            "we import things carefully",  # 'import' not at col 0 of stmt form
+            "ximport numpy",  # no anchor match
+            "import 123bad",  # module must start [A-Za-z_]
+            "from x import",  # needs ' import' AFTER module — matches (x)
+        ]
+    )
+    out = import_edges(_docs(spark, [(1, "r1", content)]))
+    got = {(r["kind"], r["module"]) for r in out.collect()}
+    assert got == {("py_from", "x")}
+
+
+def test_es_import_line_emits_only_es_edge(spark):
+    # next char after 'import ' is '{' — outside [A-Za-z_], so the bare
+    # py_import prefix must NOT also fire.
+    out = import_edges(_docs(spark, [(1, "r1", "import { a } from 'pkg'")]))
+    got = [(r["kind"], r["module"]) for r in out.collect()]
+    assert got == [("es_import", "pkg")]
+
+
+def test_module_summary_distinct_importers_vs_total(spark):
+    rows = [
+        (1, "repoA", "import numpy\nimport numpy"),
+        (2, "repoA", "import numpy"),
+        (3, "repoB", "import numpy\nimport pandas"),
+    ]
+    edges = import_edges(_docs(spark, rows), repo_col="repo")
+    out = {
+        r["module"]: (r["n_importers"], r["n_imports"])
+        for r in module_summary(edges, importer_col="repo").collect()
+    }
+    # numpy: 2 distinct repos, 4 import statements; pandas: 1 and 1.
+    assert out == {"numpy": (2, 4), "pandas": (1, 1)}
+
+
+def test_detect_license_spdx_wins_over_phrase(spark):
+    rows = [
+        (
+            1,
+            "r",
+            "// SPDX-License-Identifier: BSD-3-Clause\n"
+            "Permission is hereby granted, free of charge",
+        ),
+        (2, "r", "Permission is hereby granted, free of charge to any person"),
+        (3, "r", "Licensed under the Apache License, Version 2.0 (the License)"),
+        (4, "r", "covered by the GNU General Public License v3"),
+        (5, "r", "no license text at all"),
+    ]
+    out = {r["doc_id"]: r["license"] for r in detect_license(_docs(spark, rows)).collect()}
+    assert out == {
+        1: "BSD-3-Clause",
+        2: "MIT",
+        3: "Apache-2.0",
+        4: "GPL",
+        5: "unknown",
+    }
+
+
+def test_import_edges_plan_has_no_shuffle(spark):
+    docs = _docs(spark, [(1, "r1", "import numpy")])
+    plan = import_edges(docs, repo_col="repo")._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_module_summary_plan_partial_aggregates(spark):
+    docs = _docs(spark, [(1, "r1", "import numpy")])
+    edges = import_edges(docs, repo_col="repo")
+    plan = (
+        module_summary(edges, importer_col="repo")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # two-phase shape: both shuffles carry partial aggregates (HashAggregate
+    # below each Exchange), and no Expand (count-distinct rewrite) appears.
+    assert "Expand" not in plan
+    assert plan.count("Exchange") <= 2
+
+
+def test_detect_license_null_content(spark):
+    out = detect_license(
+        spark.createDataFrame([(1, None)], "doc_id bigint, content string")
+    ).collect()
+    assert [(r["doc_id"], r["license"]) for r in out] == [(1, "unknown")]
