@@ -60,6 +60,8 @@ def distant_label(
         (cands["query_n"] == nkb["subj_n"]) & (cands["answer_n"] == nkb["obj_n"]),
         "left",
     )
+    # drop the join's normalization temps too (query_n/answer_n leaked
+    # into every downstream stage table until r5 — dead schema width)
     return joined.withColumn(
         "label", F.coalesce(F.col("rel"), F.lit(NO_RELATION))
-    ).drop("rel", "subj_n", "obj_n")
+    ).drop("rel", "subj_n", "obj_n", "query_n", "answer_n")

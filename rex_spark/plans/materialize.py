@@ -44,6 +44,7 @@ def materialize_kg(
     link_entities: bool = True,
     verify_content: bool | None = None,
     apply_constraints: bool = False,
+    label_features: bool = False,
 ) -> DataFrame:
     """Run (or resume) the staged extraction; returns the final triples
     DataFrame read back from its checkpoint table.
@@ -64,9 +65,27 @@ def materialize_kg(
     functional-arity constraint (operators/constraints.py). On clean
     distant output this is a checked no-op (every distant triple is
     KB-licensed by construction); it exists to drop noise when the
-    triples come from a learned scorer or merged upstream KBs."""
+    triples come from a learned scorer or merged upstream KBs.
+
+    ``label_features``: whether the labeled stage table carries the
+    sparse feature columns (``f_idx``/``f_val``). Default False (r5):
+    the labeled stage is a label-ASSIGNMENT table — key columns +
+    ``label`` + carry — because nothing downstream of it reads
+    features, and they are by far the widest columns in the pipeline:
+    duplicating them into a second corpus-scale table doubles the
+    heaviest write for zero readers (at 400k docs the labeled write
+    was 5.5 s of a 35 s 16-core run; at 100 TB it is a full second
+    copy of the feature store). A training consumer that wants
+    features WITH labels joins the labeled table back to candidates
+    on the (doc_id, sent_idx, q_idx, a_idx) key — Exchange-free when
+    both stages use the bucketed layout (sources/bucketing.py) — or
+    passes ``label_features=True`` to materialize the wide form.
+    The flag is part of the stage config echo, so flipping it
+    invalidates (rebuilds) an existing labeled checkpoint rather than
+    resuming into the wrong schema."""
     conf = conf or PipelineConfig()
     echo = _config_echo(conf)
+    echo["label_features"] = label_features
 
     cand_path = os.path.join(out_dir, "candidates")
     cands = resume_or_run(
@@ -78,13 +97,14 @@ def materialize_kg(
     )
 
     lab_path = os.path.join(out_dir, "labeled")
-    labeled = resume_or_run(
-        spark,
-        lab_path,
-        "labeled",
-        lambda: distant_label(cands, kb),
-        config_echo=echo,
-    )
+
+    def build_labeled() -> DataFrame:
+        lab = distant_label(cands, kb)
+        if not label_features:
+            lab = lab.drop("f_idx", "f_val")
+        return lab
+
+    labeled = resume_or_run(spark, lab_path, "labeled", build_labeled, config_echo=echo)
 
     trip_path = os.path.join(out_dir, "triples")
 

@@ -1,0 +1,92 @@
+"""One-off diagnosis of staged-pipeline tail-stage parallelism: run a
+cold materialize_kg at a pinned core count and print, per stage, the
+END-TO-END wall (build actions + write + manifest) and the write-only
+wall from the manifest, plus the content-verify wall — to locate where
+the staged scaling-gate loss actually lives.
+
+Usage: taskset -c 0-3 python tools/profile_staged.py 4 [n_docs]
+"""
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    cpus = int(sys.argv[1])
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 400_000
+
+    from rex_spark.plans import materialize as M
+    from rex_spark.session import get_spark
+    from rex_spark.sources import catalog
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    spark = get_spark(f"profile-staged-{cpus}", master=f"local[{cpus}]",
+                      shuffle_partitions=64,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    conf = CorpusConfig(n_docs=n_docs, n_entities=400, n_kb=800, n_repos=100, seed=42)
+    kb = kb_df(spark, conf)
+    lex = make_lexicon(conf)
+    docs = corpus_df(spark, conf, partitions=160).cache()
+    docs.count()
+
+    stage_walls: dict[str, float] = {}
+    orig_ror = catalog.resume_or_run
+
+    def timed_ror(spark_, path, stage, build, **kw):
+        t0 = time.perf_counter()
+        out = orig_ror(spark_, path, stage, build, **kw)
+        stage_walls[stage] = time.perf_counter() - t0
+        return out
+
+    orig_verify = M.assert_content_equality
+
+    def timed_verify(*a, **kw):
+        t0 = time.perf_counter()
+        out = orig_verify(*a, **kw)
+        stage_walls["content_verify"] = time.perf_counter() - t0
+        return out
+
+    # warm codegen/python workers (unpatched)
+    wdir = tempfile.mkdtemp(prefix="prof_warm_")
+    try:
+        M.materialize_kg(spark, docs.sample(0.05, seed=1), kb, lex, wdir,
+                         link_entities=True, apply_constraints=True).count()
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+
+    M.resume_or_run = timed_ror
+    M.assert_content_equality = timed_verify
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    sdir = tempfile.mkdtemp(prefix="prof_staged_", dir=base)
+    try:
+        t0 = time.perf_counter()
+        out = M.materialize_kg(spark, docs, kb, lex, sdir,
+                               link_entities=True, apply_constraints=True)
+        n = out.count()
+        wall = time.perf_counter() - t0
+        print(f"cpus={cpus} n_docs={n_docs} total_wall={wall:.1f}s rows={n}")
+        accounted = 0.0
+        for st in ("candidates", "labeled", "triples", "content_verify",
+                   "constrained", "canonical"):
+            e2e = stage_walls.get(st, 0.0)
+            accounted += e2e
+            m = catalog.read_manifest(os.path.join(sdir, st)) or {}
+            wms = m.get("wall_ms")
+            print(f"  {st:14s} e2e={e2e:7.2f}s write_only="
+                  f"{(wms or 0) / 1000:6.2f}s rows={m.get('row_count')}")
+        print(f"  unaccounted    {wall - accounted:7.2f}s (constraint derivation, "
+              f"job setup, final read-back)")
+    finally:
+        shutil.rmtree(sdir, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
