@@ -1286,6 +1286,45 @@ def q_module_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_summary(edges, importer_col="source")
 
 
+def q_symbol_defs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Symbol-definition extraction (codegraph.symbol_defs): the node
+    # half of the code KG (import_edges gives module edges, this gives
+    # the symbols each doc provides). Deterministic def/class/function/
+    # #define lines injected by doc_id residue; the '  def helper' line
+    # pins the ltrim contract (indented methods count, ctags-style).
+    from rex_spark.operators.codegraph import symbol_defs
+
+    d = _docs(spark, sf_dir)
+    inj = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(F.col("doc_id") % 3 == 0, F.lit("def load(path):\n")).otherwise(""),
+            F.when(F.col("doc_id") % 4 == 0, F.lit("class Parser:\n")).otherwise(""),
+            F.when(F.col("doc_id") % 5 == 0, F.lit("  def helper(x):\n")).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0, F.lit("function render(el) {\n")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 9 == 0, F.lit("#define MAX_LEN 4096\n")
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("content"),
+    )
+    return symbol_defs(inj, repo_col="source")
+
+
+def q_symbol_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cross-repo symbol-name collision table: module_summary generalized
+    # over the symbol column (value_col) — same two-phase skew-safe
+    # aggregate, (symbol, kind, repo) first so a corpus-hot symbol name
+    # ('def main' everywhere) never lands raw on one reducer.
+    from rex_spark.operators.codegraph import module_summary
+
+    edges = q_symbol_defs(spark, sf_dir)
+    return module_summary(edges, importer_col="source", value_col="symbol")
+
+
 def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # License detection (operators/curation.py): SPDX tag wins over
     # phrase fallbacks (the %4 docs carry BOTH a BSD-3-Clause SPDX tag
@@ -1379,6 +1418,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "strip_boilerplate": q_strip_boilerplate,
         "import_edges": q_import_edges,
         "module_summary": q_module_summary,
+        "symbol_defs": q_symbol_defs,
+        "symbol_collisions": q_symbol_collisions,
         "license_scan": q_license_scan,
     }
 
@@ -2831,6 +2872,104 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_importers,
                    CAST(sum(n) AS BIGINT) AS n_imports
             FROM per GROUP BY module, kind
+        """,
+        # Symbol-definition extraction over the injection-mirrored
+        # corpus; patterns byte-identical to codegraph.SYMBOL_PATTERNS.
+        "symbol_defs": r"""
+            WITH inj AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'def load(path):' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN 'class Parser:' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '  def helper(x):' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN 'function render(el) {' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN '#define MAX_LEN 4096' || chr(10) ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source,
+                     ltrim(unnest(string_split(content, chr(10)))) AS line
+              FROM inj
+            ),
+            defs AS (
+              SELECT doc_id, source, 'py_def' AS kind,
+                     regexp_extract(line,
+                       '^def\s+([A-Za-z_][A-Za-z0-9_]*)', 1) AS symbol
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'py_class',
+                     regexp_extract(line,
+                       '^class\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'js_function',
+                     regexp_extract(line,
+                       '^function\s+([A-Za-z_$][A-Za-z0-9_$]*)', 1)
+              FROM lines
+              UNION ALL
+              SELECT doc_id, source, 'c_define',
+                     regexp_extract(line,
+                       '^#\s*define\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+              FROM lines
+            )
+            SELECT doc_id, source, kind, symbol FROM defs WHERE symbol <> ''
+        """,
+        "symbol_collisions": r"""
+            WITH inj AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'def load(path):' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN 'class Parser:' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 5 = 0
+                          THEN '  def helper(x):' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN 'function render(el) {' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 9 = 0
+                          THEN '#define MAX_LEN 4096' || chr(10) ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            lines AS (
+              SELECT doc_id, source,
+                     ltrim(unnest(string_split(content, chr(10)))) AS line
+              FROM inj
+            ),
+            defs AS (
+              SELECT source, 'py_def' AS kind,
+                     regexp_extract(line,
+                       '^def\s+([A-Za-z_][A-Za-z0-9_]*)', 1) AS symbol
+              FROM lines
+              UNION ALL
+              SELECT source, 'py_class',
+                     regexp_extract(line,
+                       '^class\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+              FROM lines
+              UNION ALL
+              SELECT source, 'js_function',
+                     regexp_extract(line,
+                       '^function\s+([A-Za-z_$][A-Za-z0-9_$]*)', 1)
+              FROM lines
+              UNION ALL
+              SELECT source, 'c_define',
+                     regexp_extract(line,
+                       '^#\s*define\s+([A-Za-z_][A-Za-z0-9_]*)', 1)
+              FROM lines
+            ),
+            per AS (
+              SELECT symbol, kind, source, count(*) AS n
+              FROM defs WHERE symbol <> ''
+              GROUP BY symbol, kind, source
+            )
+            SELECT symbol, kind,
+                   CAST(count(*) AS BIGINT) AS n_importers,
+                   CAST(sum(n) AS BIGINT) AS n_imports
+            FROM per GROUP BY symbol, kind
         """,
         # CASE order mirrors curation.LICENSE_PHRASES; the SPDX branch
         # wins first, exactly as detect_license's outermost when.

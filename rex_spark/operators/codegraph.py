@@ -34,6 +34,53 @@ IMPORT_PATTERNS: tuple[tuple[str, str], ...] = (
 )
 
 
+# top-level definition forms -> (kind, captured symbol name). Same
+# ltrim-before-match / RE2-subset contract as IMPORT_PATTERNS.
+SYMBOL_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("py_def", r"^def\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("py_class", r"^class\s+([A-Za-z_][A-Za-z0-9_]*)"),
+    ("js_function", r"^function\s+([A-Za-z_$][A-Za-z0-9_$]*)"),
+    ("c_define", r"^#\s*define\s+([A-Za-z_][A-Za-z0-9_]*)"),
+)
+
+
+def _line_battery(
+    docs: DataFrame,
+    patterns: tuple[tuple[str, str], ...],
+    out_col: str,
+    text_col: str,
+    id_col: str,
+    repo_col: str | None,
+) -> DataFrame:
+    """Shared kernel of ``import_edges``/``symbol_defs``: split + one
+    explode + a constant regexp battery over LTRIMMED lines, fused into
+    whole-stage codegen — a single narrow pass over the corpus, zero
+    shuffle, zero Python. Cost is O(lines x len(patterns)) with
+    vectorized regex evaluation JVM-side."""
+    keep = [F.col(id_col)] + ([F.col(repo_col)] if repo_col else [])
+    lines = docs.select(
+        *keep,
+        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
+    ).select(*keep, F.ltrim(F.col("_raw")).alias("_line"))
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.regexp_extract(F.col("_line"), pat, 1).alias(out_col),
+                )
+                for kind, pat in patterns
+            ]
+        ),
+        lambda s: s[out_col] != "",
+    )
+    return lines.select(*keep, F.explode(hits).alias("_hit")).select(
+        *keep,
+        F.col("_hit.kind").alias("kind"),
+        F.col(f"_hit.{out_col}").alias(out_col),
+    )
+
+
 def import_edges(
     docs: DataFrame,
     text_col: str = "content",
@@ -48,42 +95,40 @@ def import_edges(
     conditionals still count; column-0 anchoring distinguishes the
     statement forms from prose mentioning the keyword).
 
-    Scale shape: split + one explode + K regexp_extract projections
-    fused into whole-stage codegen — a single narrow pass over the
-    corpus, zero shuffle, zero Python. The per-line pattern battery is
-    a constant (len(IMPORT_PATTERNS)) so cost is O(lines x K) with
-    vectorized regex evaluation JVM-side.
+    Scale shape: see ``_line_battery``.
     """
-    keep = [F.col(id_col)] + ([F.col(repo_col)] if repo_col else [])
-    lines = docs.select(
-        *keep,
-        F.explode(F.split(F.col(text_col), "\n")).alias("_raw"),
-    ).select(*keep, F.ltrim(F.col("_raw")).alias("_line"))
-    hits = F.filter(
-        F.array(
-            *[
-                F.struct(
-                    F.lit(kind).alias("kind"),
-                    F.regexp_extract(F.col("_line"), pat, 1).alias("module"),
-                )
-                for kind, pat in IMPORT_PATTERNS
-            ]
-        ),
-        lambda s: s["module"] != "",
-    )
-    return lines.select(*keep, F.explode(hits).alias("_hit")).select(
-        *keep,
-        F.col("_hit.kind").alias("kind"),
-        F.col("_hit.module").alias("module"),
-    )
+    return _line_battery(docs, IMPORT_PATTERNS, "module", text_col, id_col, repo_col)
+
+
+def symbol_defs(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    repo_col: str | None = None,
+) -> DataFrame:
+    """Extract top-level symbol DEFINITIONS (functions, classes, macros)
+    — the other half of the code KG: ``import_edges`` gives the
+    module-dependency edges, this gives the symbol nodes each document
+    provides, i.e. a repo's API surface (``(doc_id[, repo], kind,
+    symbol)``). Same ltrim-before-match contract; an indented ``def``
+    (a method) counts as a definition, mirroring ctags-style symbol
+    indexing.
+
+    Scale shape: see ``_line_battery``.
+    """
+    return _line_battery(docs, SYMBOL_PATTERNS, "symbol", text_col, id_col, repo_col)
 
 
 def module_summary(
-    edges: DataFrame, importer_col: str = "doc_id"
+    edges: DataFrame, importer_col: str = "doc_id", value_col: str = "module"
 ) -> DataFrame:
     """Aggregate the edge list into the module dependency summary:
     ``(module, kind, n_importers, n_imports)`` — distinct importers
     (repos or docs, per ``importer_col``) and total import statements.
+    ``value_col``: aggregate a different extraction instead (e.g.
+    ``symbol`` from ``symbol_defs`` — then the output reads "how many
+    repos define a symbol of this name", the cross-repo name-collision
+    table).
 
     Scale shape: a hot module (every repo imports ``numpy``) is exactly
     the boilerplate-line skew case, so the same two-phase shape as
@@ -94,10 +139,10 @@ def module_summary(
     carry partial aggregates, never raw edge rows; no count-distinct
     Expand plan (which would double the first shuffle's width).
     """
-    per_importer = edges.groupBy("module", "kind", importer_col).agg(
+    per_importer = edges.groupBy(value_col, "kind", importer_col).agg(
         F.count(F.lit(1)).alias("_n")
     )
-    return per_importer.groupBy("module", "kind").agg(
+    return per_importer.groupBy(value_col, "kind").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_importers"),
         F.sum("_n").cast("bigint").alias("n_imports"),
     )

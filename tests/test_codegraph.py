@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rex_spark.operators.codegraph import import_edges, module_summary
+from rex_spark.operators.codegraph import import_edges, module_summary, symbol_defs
 from rex_spark.operators.curation import detect_license
 
 
@@ -72,6 +72,54 @@ def test_module_summary_distinct_importers_vs_total(spark):
     }
     # numpy: 2 distinct repos, 4 import statements; pandas: 1 and 1.
     assert out == {"numpy": (2, 4), "pandas": (1, 1)}
+
+
+def test_symbol_defs_all_four_kinds(spark):
+    content = "\n".join(
+        [
+            "def load(path):",
+            "  def helper(x):",  # indented method counts (ltrim, ctags-style)
+            "class Parser:",
+            "function render(el) {",
+            "#define MAX_LEN 4096",
+            "undefined behavior",  # prose: no anchor match
+            "indefinitely",  # 'def' not at stmt start
+        ]
+    )
+    out = symbol_defs(_docs(spark, [(1, "r1", content)]), repo_col="repo")
+    got = {(r["kind"], r["symbol"]) for r in out.collect()}
+    assert got == {
+        ("py_def", "load"),
+        ("py_def", "helper"),
+        ("py_class", "Parser"),
+        ("js_function", "render"),
+        ("c_define", "MAX_LEN"),
+    }
+
+
+def test_symbol_defs_plan_has_no_shuffle(spark):
+    docs = _docs(spark, [(1, "r1", "def f():")])
+    plan = (
+        symbol_defs(docs, repo_col="repo")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_module_summary_value_col_generalization(spark):
+    rows = [
+        (1, "repoA", "def main():\ndef main():"),
+        (2, "repoB", "def main():"),
+        (3, "repoB", "class Main:"),
+    ]
+    defs = symbol_defs(_docs(spark, rows), repo_col="repo")
+    out = {
+        (r["symbol"], r["kind"]): (r["n_importers"], r["n_imports"])
+        for r in module_summary(defs, importer_col="repo", value_col="symbol").collect()
+    }
+    assert out == {("main", "py_def"): (2, 3), ("Main", "py_class"): (1, 1)}
 
 
 def test_detect_license_spdx_wins_over_phrase(spark):
