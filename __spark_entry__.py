@@ -1325,6 +1325,39 @@ def q_symbol_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return module_summary(edges, importer_col="source", value_col="symbol")
 
 
+def q_docstring_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # (function, docstring) pair extraction (codegraph.docstring_pairs)
+    # — CodeSearchNet-style NL<->code supervision. Injections: %3 one
+    # documented fn; %4 an UNdocumented def (must not match); %7 two
+    # documented fns, the first with a multi-line body (pins (?s) +
+    # non-greedy close agreement between Java and RE2).
+    from rex_spark.operators.codegraph import docstring_pairs
+
+    d = _docs(spark, sf_dir)
+    inj = d.select(
+        "doc_id",
+        "source",
+        F.concat(
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit('def load(path):\n    """Read the dataset at path."""\n'),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 4 == 0, F.lit("def run(x): pass\n")
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(
+                    'def a():\n  """first.\n  spans lines."""\n'
+                    'def b(n):\n  """second."""\n'
+                ),
+            ).otherwise(""),
+            F.col("text"),
+        ).alias("content"),
+    )
+    return docstring_pairs(inj, repo_col="source")
+
+
 def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # License detection (operators/curation.py): SPDX tag wins over
     # phrase fallbacks (the %4 docs carry BOTH a BSD-3-Clause SPDX tag
@@ -1420,6 +1453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "module_summary": q_module_summary,
         "symbol_defs": q_symbol_defs,
         "symbol_collisions": q_symbol_collisions,
+        "docstring_pairs": q_docstring_pairs,
         "license_scan": q_license_scan,
     }
 
@@ -2971,6 +3005,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n) AS BIGINT) AS n_imports
             FROM per GROUP BY symbol, kind
         """,
+        # (function, docstring) pairs; pattern byte-identical to
+        # codegraph.DOCSTRING_PATTERN. DuckDB's parallel unnest over the
+        # two group-extraction lists zips positionally, exactly like the
+        # engine's arrays_zip — safe because both walks share offsets.
+        "docstring_pairs": r'''
+            WITH inj AS (
+              SELECT doc_id, source,
+                     CASE WHEN doc_id % 3 = 0
+                          THEN 'def load(path):' || chr(10)
+                               || '    """Read the dataset at path."""'
+                               || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 4 = 0
+                          THEN 'def run(x): pass' || chr(10) ELSE '' END
+                  || CASE WHEN doc_id % 7 = 0
+                          THEN 'def a():' || chr(10)
+                               || '  """first.' || chr(10)
+                               || '  spans lines."""' || chr(10)
+                               || 'def b(n):' || chr(10)
+                               || '  """second."""' || chr(10)
+                          ELSE '' END
+                  || text AS content
+              FROM documents
+            ),
+            ext AS (
+              SELECT doc_id, source,
+                     regexp_extract_all(content,
+                       '(?s)def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^)]*\)\s*:\s*\n\s*"""(.*?)"""',
+                       1) AS ns,
+                     regexp_extract_all(content,
+                       '(?s)def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^)]*\)\s*:\s*\n\s*"""(.*?)"""',
+                       2) AS bs
+              FROM inj
+            )
+            SELECT doc_id, source,
+                   unnest(ns) AS symbol,
+                   unnest(bs) AS docstring
+            FROM ext
+        ''',
         # CASE order mirrors curation.LICENSE_PHRASES; the SPDX branch
         # wins first, exactly as detect_license's outermost when.
         "license_scan": r"""

@@ -111,6 +111,14 @@ def main() -> None:
         "pii_stats",
         "code_stats",
         "strip_boilerplate",
+        # code-KG passes (r5). symbol_defs/symbol_collisions share the
+        # exact plan shapes of import_edges/module_summary (same
+        # _line_battery + two-phase agg) — benching both would be
+        # redundant suite time, not extra signal.
+        "import_edges",
+        "module_summary",
+        "license_scan",
+        "docstring_pairs",  # whole-content (?s) regex walk — distinct shape
     ]
 
     # warm the JVM + parquet footers once (not timed)

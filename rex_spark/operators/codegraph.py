@@ -119,6 +119,44 @@ def symbol_defs(
     return _line_battery(docs, SYMBOL_PATTERNS, "symbol", text_col, id_col, repo_col)
 
 
+# whole-content pattern (not a line battery): function def + its PEP 257
+# docstring. (?s) so the non-greedy body crosses lines; no lookarounds /
+# backrefs, so Java (Spark) and RE2 (DuckDB) agree match-for-match.
+DOCSTRING_PATTERN = (
+    r'(?s)def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\([^)]*\)\s*:\s*\n\s*"""(.*?)"""'
+)
+
+
+def docstring_pairs(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    repo_col: str | None = None,
+) -> DataFrame:
+    """Extract (function, docstring) pairs — the canonical code-LM
+    training-data pass (CodeSearchNet-style NL<->code supervision):
+    every ``def`` whose body opens with a triple-quoted docstring yields
+    ``(doc_id[, repo], symbol, docstring)``.
+
+    Scale shape: two ``regexp_extract_all`` projections over the SAME
+    pattern (group 1 = name, group 2 = body — the engines return one
+    group per call) zipped positionally, one explode — all whole-stage
+    codegen, zero shuffle, zero Python. Positional zip is safe because
+    both extractions walk identical match offsets.
+    """
+    keep = [F.col(id_col)] + ([F.col(repo_col)] if repo_col else [])
+    pat = F.lit(DOCSTRING_PATTERN)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(F.col(text_col), pat, F.lit(1)).alias("symbol"),
+        F.regexp_extract_all(F.col(text_col), pat, F.lit(2)).alias("docstring"),
+    )
+    return docs.select(*keep, F.explode(pairs).alias("_p")).select(
+        *keep,
+        F.col("_p.symbol").alias("symbol"),
+        F.col("_p.docstring").alias("docstring"),
+    )
+
+
 def module_summary(
     edges: DataFrame, importer_col: str = "doc_id", value_col: str = "module"
 ) -> DataFrame:

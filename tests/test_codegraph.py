@@ -6,7 +6,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from rex_spark.operators.codegraph import import_edges, module_summary, symbol_defs
+from rex_spark.operators.codegraph import (
+    docstring_pairs,
+    import_edges,
+    module_summary,
+    symbol_defs,
+)
 from rex_spark.operators.curation import detect_license
 
 
@@ -120,6 +125,33 @@ def test_module_summary_value_col_generalization(spark):
         for r in module_summary(defs, importer_col="repo", value_col="symbol").collect()
     }
     assert out == {("main", "py_def"): (2, 3), ("Main", "py_class"): (1, 1)}
+
+
+def test_docstring_pairs_multiline_and_negative(spark):
+    content = (
+        'def load(path):\n    """Read the dataset at path."""\n'
+        "def run(x): pass\n"  # undocumented: must not match
+        'def a():\n  """first.\n  spans lines."""\n'  # multi-line body
+        'def b(n):\n  """second."""\n'
+    )
+    out = docstring_pairs(_docs(spark, [(1, "r1", content)]), repo_col="repo")
+    got = [(r["symbol"], r["docstring"]) for r in out.orderBy("symbol").collect()]
+    assert got == [
+        ("a", "first.\n  spans lines."),
+        ("b", "second."),
+        ("load", "Read the dataset at path."),
+    ]
+
+
+def test_docstring_pairs_plan_has_no_shuffle(spark):
+    docs = _docs(spark, [(1, "r1", 'def f():\n  """d."""')])
+    plan = (
+        docstring_pairs(docs, repo_col="repo")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
 
 
 def test_detect_license_spdx_wins_over_phrase(spark):

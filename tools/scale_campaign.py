@@ -1,0 +1,83 @@
+"""Weather-gated staged-scaling campaign (r5).
+
+The staged scaling attempt takes ~35-50 min of pinned-core wall; this
+host's contention windows make most of those minutes worthless (the
+r5 aborted attempt launched into a window with memcpy retention 0.068
+vs ~1.0 quiet — see BASELINE.md). Same discipline as the r5 headline
+campaign, applied to scaling: probe the memory bus with a quick
+single-core memcpy; only LAUNCH an attempt when the probe reads quiet,
+then let bench_scaling's own paired-weather design stamp the per-pair
+probes so a mid-attempt jam is on the record.
+
+Stops after ``max_attempts`` completed attempts or when the latest
+attempt's median pair efficiency clears the staged gate with clean
+probes. Every attempt (clean or jammed) lands in
+bench_out/scaling.json's attempt history — nothing is discarded.
+
+Usage: python tools/scale_campaign.py [max_attempts] [probe_gate_s]
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    max_attempts = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    gate_s = float(sys.argv[2]) if len(sys.argv) > 2 else 0.6
+    from tools.bench_scaling import quick_mem_probe
+
+    done = 0
+    t_end = time.time() + 4.5 * 3600
+    while done < max_attempts and time.time() < t_end:
+        p = quick_mem_probe()
+        if p > gate_s:
+            print(json.dumps({"event": "wait", "probe_s": p}), flush=True)
+            time.sleep(150)
+            continue
+        print(json.dumps({"event": "launch", "probe_s": p}), flush=True)
+        env = dict(
+            os.environ,
+            REX_SCALE_PAIRED="1",
+            REX_SCALE_JOBS="staged",
+            REX_SCALE_REPS="2",  # 2 pairs/attempt: more window samples
+        )
+        r = subprocess.run(
+            [sys.executable, os.path.join(REPO, "tools", "bench_scaling.py")],
+            env=env, cwd=REPO, capture_output=True, text=True, timeout=5400,
+        )
+        done += 1
+        try:
+            with open(os.path.join(REPO, "bench_out", "scaling.json")) as f:
+                st = json.load(f)["staged"]
+            latest = st["attempts"][-1]
+            rec = {
+                "event": "attempt_done",
+                "n": done,
+                "efficiency": latest["efficiency"],
+                "cleanest_pair": latest.get("efficiency_cleanest_pair"),
+                "worst_probe_s": latest.get("cleanest_pair_worst_probe_s"),
+                "median": st["efficiency_median"],
+            }
+            print(json.dumps(rec), flush=True)
+            if (
+                latest["efficiency"] >= st.get("gate", 0.7)
+                and (latest.get("cleanest_pair_worst_probe_s") or 9) < 1.0
+            ):
+                print(json.dumps({"event": "clean_pass", "n": done}), flush=True)
+                break
+        except Exception as exc:  # attempt crashed: keep the evidence
+            print(json.dumps({"event": "attempt_error", "err": str(exc),
+                              "rc": r.returncode,
+                              "tail": r.stdout[-500:] + r.stderr[-300:]}),
+                  flush=True)
+
+
+if __name__ == "__main__":
+    main()
