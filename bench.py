@@ -119,6 +119,10 @@ def main() -> None:
         "module_summary",
         "license_scan",
         "docstring_pairs",  # whole-content (?s) regex walk — distinct shape
+        # call_graph = extraction + BOTH-sides-pre-aggregated symbol join
+        # (distinct shape); call_sites alone shares docstring_pairs'
+        # walk and secret_scan shares pii_stats' battery — not benched.
+        "call_graph",
     ]
 
     # warm the JVM + parquet footers once (not timed)

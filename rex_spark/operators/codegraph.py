@@ -157,6 +157,94 @@ def docstring_pairs(
     )
 
 
+# whole-content call-site pattern. Group 1 captures an OPTIONAL leading
+# definition keyword so def/function sites can be filtered out without a
+# lookbehind (RE2 — the DuckDB oracle engine — has none); group 2 is the
+# called identifier. A qualified call ``numpy.array(`` yields the bare
+# name ``array`` (the scan cannot match across the '.', so the receiver
+# is stripped) — documented, matches ctags-style call indexing.
+CALL_PATTERN = r"(?:(def|function|class)\s+)?([A-Za-z_][A-Za-z0-9_]*)\s*\("
+
+# identifiers that precede '(' in control flow / operators, not calls.
+# Shared verbatim with the DuckDB oracle's NOT IN list.
+CALL_KEYWORDS: tuple[str, ...] = (
+    "if", "elif", "for", "while", "switch", "catch", "return", "with",
+    "assert", "not", "and", "or", "in", "except", "yield", "raise",
+    "lambda", "sizeof", "typeof", "new", "delete", "do", "else", "case",
+)
+
+
+def call_sites(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    repo_col: str | None = None,
+) -> DataFrame:
+    """Extract function CALL sites — the third leg of the code KG
+    (``import_edges`` = module edges, ``symbol_defs`` = symbol nodes,
+    this = intra-corpus call edges once resolved by ``resolve_calls``).
+    Returns ``(doc_id[, repo], symbol)``, one row per call occurrence.
+
+    Definition sites (``def f(``, ``function f(``, ``class F(``) are
+    excluded by capturing the optional leading keyword (group 1) and
+    keeping only matches where it is empty — the lookbehind-free idiom
+    that keeps Java (Spark) and RE2 (DuckDB) agreement; control-flow
+    keywords (``if (...)`` etc.) are dropped via ``CALL_KEYWORDS``.
+
+    Scale shape: two ``regexp_extract_all`` walks over the same pattern
+    (identical match offsets — positional zip is exact), one explode,
+    one codegen filter; zero shuffle, zero Python.
+    """
+    keep = [F.col(id_col)] + ([F.col(repo_col)] if repo_col else [])
+    pat = F.lit(CALL_PATTERN)
+    pairs = F.arrays_zip(
+        F.regexp_extract_all(F.col(text_col), pat, F.lit(1)).alias("kw"),
+        F.regexp_extract_all(F.col(text_col), pat, F.lit(2)).alias("symbol"),
+    )
+    return (
+        docs.select(*keep, F.explode(pairs).alias("_p"))
+        .where((F.col("_p.kw") == "") & ~F.col("_p.symbol").isin(*CALL_KEYWORDS))
+        .select(*keep, F.col("_p.symbol").alias("symbol"))
+    )
+
+
+def resolve_calls(
+    calls: DataFrame,
+    defs: DataFrame,
+    caller_col: str = "doc_id",
+    def_repo_col: str = "source",
+) -> DataFrame:
+    """Resolve call sites against the corpus' own symbol definitions:
+    ``(symbol, n_calls, n_call_docs, n_def_repos)`` — how often each
+    DEFINED symbol is called, from how many documents, and how many
+    repos define it (>1 = ambiguous linkage). Inner join: unresolved
+    calls (stdlib/external names) drop out, mirroring the reference's
+    KB-restricted distant-supervision join (``distant.py``'s semantics
+    at the code level).
+
+    Scale shape: a raw symbol-keyed join would cross-product hot names
+    (every repo defines ``main`` and calls it everywhere), so BOTH sides
+    collapse first through the two-phase (symbol, doc/repo)-keyed
+    aggregate of ``module_summary`` — the join then matches one row per
+    symbol per side, skew-free by construction, and AQE broadcasts the
+    def side (distinct defined symbols << call occurrences).
+    """
+    per_caller = calls.groupBy("symbol", caller_col).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    call_agg = per_caller.groupBy("symbol").agg(
+        F.sum("_n").cast("bigint").alias("n_calls"),
+        F.count(F.lit(1)).cast("bigint").alias("n_call_docs"),
+    )
+    per_repo = defs.select("symbol", def_repo_col).groupBy(
+        "symbol", def_repo_col
+    ).agg(F.count(F.lit(1)).alias("_d"))
+    def_agg = per_repo.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_def_repos")
+    )
+    return call_agg.join(def_agg, "symbol", "inner")
+
+
 def module_summary(
     edges: DataFrame, importer_col: str = "doc_id", value_col: str = "module"
 ) -> DataFrame:

@@ -215,6 +215,91 @@ def pii_stats(
     )
 
 
+# --- leaked-credential (secret) detection ------------------------------------
+
+# (kind, pattern) battery — same Java∩RE2 subset contract as the PII
+# patterns above, shared verbatim with the DuckDB oracle. Values in
+# tests/injections are deliberately fake (all-'A' AWS key, all-'x' PAT).
+SECRET_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("aws_key", r"AKIA[0-9A-Z]{16}"),
+    ("github_pat", r"ghp_[A-Za-z0-9]{36}"),
+    ("slack_token", r"xox[baprs]-[A-Za-z0-9-]{10,48}"),
+    ("private_key", r"-----BEGIN [A-Z ]*PRIVATE KEY-----"),
+    (
+        "secret_assign",
+        r"(?i)(?:password|passwd|secret|api_key|apikey|token)"
+        r"\s*[:=]\s*['\"][^'\"\s]{8,}['\"]",
+    ),
+)
+
+
+def _secret_redacted(c: Column) -> Column:
+    """``c`` with every SECRET_PATTERNS match replaced by ``<SECRET>``,
+    applied in battery order (the order is part of the contract: an
+    earlier replacement can remove text a later pattern would
+    half-match, exactly as in ``pii_stats``)."""
+    for _, pat in SECRET_PATTERNS:
+        c = F.regexp_replace(c, pat, "<SECRET>")
+    return c
+
+
+def redact_secrets(docs: DataFrame, text_col: str = "content") -> DataFrame:
+    """Corpus scrub pass: the text column replaced by its
+    ``<SECRET>``-redacted form, every other column carried. Pure
+    codegen projection — zero shuffle, zero Python; composes as an
+    optional stage in ``plans/curate.py`` so fingerprints, dedup
+    signatures and quality stats downstream see scrubbed text."""
+    return docs.withColumn(text_col, _secret_redacted(F.col(text_col)))
+
+
+def secret_scan(
+    docs: DataFrame, text_col: str = "content", id_col: str = "doc_id"
+) -> DataFrame:
+    """Leaked-credential detection over a source-code corpus — the
+    secret-scrubbing pass a code-LM curation pipeline runs next to PII
+    redaction (BigScience/BigCode-style): AWS access-key IDs, GitHub
+    PATs, Slack tokens, PEM private-key headers, and generic
+    ``password/secret/token = "..."`` assignments.
+
+    Returns ``(doc_id, kind, n_hits)`` — one row per document per
+    PATTERN KIND with at least one hit (clean documents emit nothing),
+    plus per-doc ``redacted_sha256`` of the text with every match
+    replaced by ``<SECRET>`` in battery order, usable as a scrub
+    fingerprint next to the pipeline's content-equality invariant
+    (``plans/materialize.py``), mirroring ``pii_stats``.
+
+    Scale shape: one projection — a constant struct battery evaluated
+    per row inside whole-stage codegen, one explode; zero shuffle, zero
+    Python.
+    """
+    c = F.col(text_col)
+    hits = F.filter(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(kind).alias("kind"),
+                    F.size(F.regexp_extract_all(c, F.lit(pat), 0))
+                    .cast("bigint")
+                    .alias("n_hits"),
+                )
+                for kind, pat in SECRET_PATTERNS
+            ]
+        ),
+        lambda s: s["n_hits"] > 0,
+    )
+    redacted = _secret_redacted(c)
+    return docs.select(
+        F.col(id_col),
+        F.explode(hits).alias("_h"),
+        F.sha2(redacted, 256).alias("redacted_sha256"),
+    ).select(
+        id_col,
+        F.col("_h.kind").alias("kind"),
+        F.col("_h.n_hits").alias("n_hits"),
+        "redacted_sha256",
+    )
+
+
 # --- code-quality stats (StarCoder-style filters) ---------------------------
 
 

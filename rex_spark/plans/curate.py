@@ -31,7 +31,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.curation import boilerplate_lines, decontaminate, strip_boilerplate
+from ..operators.curation import (
+    boilerplate_lines,
+    decontaminate,
+    redact_secrets,
+    strip_boilerplate,
+)
 from ..operators.dedup import exact_dedup, minhash_lsh_candidates, verify_jaccard
 from ..operators.textstats import detect_language, quality_cols, token_count_cols
 from ..sources.catalog import resume_or_run
@@ -49,6 +54,7 @@ def curate_corpus(
     min_quality_distinct_ratio: float = 0.05,
     max_stopword_ratio: float = 0.9,
     boilerplate_min_docs: int | None = None,
+    scrub_secrets: bool = False,
     benchmark: DataFrame | None = None,
     decontaminate_n: int = 8,
 ) -> DataFrame:
@@ -67,6 +73,14 @@ def curate_corpus(
       LAST — curated docs sharing any word n-gram with the benchmark
       set are dropped (eval-set contamination). The benchmark frame
       needs (bench_id, <text_col>) columns.
+
+    ``scrub_secrets`` (off by default, same resume contract): leaked
+    credentials are replaced by ``<SECRET>`` before stats/dedup ever
+    see the text — a free codegen projection folded into whichever
+    stage scans the raw corpus first, NOT a separate checkpointed
+    stage (at 100 TB an extra durable copy of the corpus just to
+    rewrite a few byte ranges is the wrong trade; the projection
+    re-applies identically on resume because it is deterministic).
     """
     echo = {
         "min_jaccard": min_jaccard,
@@ -75,9 +89,12 @@ def curate_corpus(
         "min_quality_distinct_ratio": min_quality_distinct_ratio,
         "max_stopword_ratio": max_stopword_ratio,
         "boilerplate_min_docs": boilerplate_min_docs,
+        "scrub_secrets": scrub_secrets,
         "decontaminate": benchmark is not None,
         "decontaminate_n": decontaminate_n,
     }
+    if scrub_secrets:
+        docs = redact_secrets(docs, text_col=text_col)
 
     if boilerplate_min_docs is not None:
         raw = docs

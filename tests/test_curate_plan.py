@@ -105,3 +105,23 @@ def test_curate_optional_strip_and_decon_stages(spark, tmp_path):
         for s in ("stripped", "curated", "decon")
     }
     assert m1 == m2
+
+
+def test_curate_scrub_secrets_projection(spark, tmp_path):
+    # scrub_secrets folds a <SECRET> redaction into the first corpus
+    # scan (no extra checkpointed stage) and changes the config echo,
+    # so a scrubbed run never resumes from an unscrubbed checkpoint.
+    docs = _docs(spark).withColumn(
+        "content",
+        F.when(
+            F.col("doc_id") == 5,
+            F.concat(F.lit('token = "s3cr3tvalue99" '), F.col("content")),
+        ).otherwise(F.col("content")),
+    )
+    out = str(tmp_path / "cur_scrub")
+    curated = curate_corpus(spark, docs, out, scrub_secrets=True)
+    row = curated.where(F.col("doc_id") == 5).collect()[0]
+    assert "<SECRET>" in row["content"]
+    assert "s3cr3tvalue99" not in row["content"]
+    # no separate scrub stage directory materialized
+    assert not os.path.exists(os.path.join(out, "scrubbed"))
