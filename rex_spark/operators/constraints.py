@@ -96,6 +96,7 @@ def constrain_triples(
     kb: DataFrame,
     type_map: DataFrame,
     checkpoint_dir: str | None = None,
+    materialize_licensed: bool = True,
 ) -> DataFrame:
     """The full constraint-filtering pass over PER-OCCURRENCE triple rows
     (doc_id/sent_idx lineage preserved): type licensing row-wise, then
@@ -117,13 +118,20 @@ def constrain_triples(
     a full duplicated corpus scan at 100 TB. Same durability switch as
     every other fan-out point (``checkpoint_dir`` /
     ``spark.rex.checkpointDir``).
+
+    ``materialize_licensed=False`` skips that checkpoint for callers
+    whose ``triples`` is ALREADY a checkpointed table read-back (the
+    staged pipeline passes the triples stage table): the duplicated
+    lineage is then two parquet scans + broadcast-join projections —
+    strictly cheaper than a third corpus-scale durable write+read just
+    to avoid the second scan. Leave True for raw extraction lineage.
     """
     from ..checkpoint import materialize
 
     cons = derive_type_constraints(kb, type_map)
-    kept = materialize(
-        apply_type_constraints(triples, cons, type_map), checkpoint_dir
-    )
+    kept = apply_type_constraints(triples, cons, type_map)
+    if materialize_licensed:
+        kept = materialize(kept, checkpoint_dir)
     edges = kept.groupBy("subj", "pred", "obj").agg(
         F.count(F.lit(1)).alias("support")
     )

@@ -283,6 +283,89 @@ def connected_components(
     )
 
 
+def _driver_mention_map(
+    rows: list,
+    block_prefix_len: int,
+    max_block_size: int,
+    min_jaccard: float,
+    max_pairs: int,
+) -> list[tuple[str, str]] | None:
+    """Driver-side twin of the blocking + trigram-Jaccard + CC chain for
+    a SMALL collected vocabulary. ``rows`` carries (mention, m) where
+    ``m`` is the SPARK-computed normalized form (so this path never
+    re-implements normalization — the one place engine divergence could
+    hide). Semantics are label-identical to the distributed path:
+
+      - block key = ``m[:prefix] + "#" + str(int(len(m)/4))`` (Spark's
+        double-division int cast truncates toward zero = ``//4`` here);
+      - oversized blocks sub-salt by ``murmur3_32(m) % ceil(bsz/cap)``
+        — ``functions.hashing.murmur3_32`` is bit-parity-tested against
+        ``F.hash``, and Python ``%`` on a positive modulus matches
+        ``F.pmod``;
+      - distinct-char-trigram Jaccard ``i/(na+nb-i)`` in IEEE doubles;
+      - component label = min normalized member (UTF-8 byte order and
+        code-point order agree, so ``min()`` matches ``F.min``).
+
+    Returns None when the pair fan-out exceeds ``max_pairs`` (caller
+    falls back to the distributed path — the only spent cost is one
+    tiny collect)."""
+    import math
+    from collections import defaultdict
+
+    from ..functions.hashing import murmur3_32
+
+    norms = sorted({m for _, m in rows if m})
+    blocks: dict[str, list[str]] = defaultdict(list)
+    pre = {}
+    for m in norms:
+        pre[m] = m[: block_prefix_len] + "#" + str(len(m) // 4)
+        blocks[pre[m]].append(m)
+    final: dict[str, list[str]] = defaultdict(list)
+    for key, ms in blocks.items():
+        if len(ms) > max_block_size:
+            nsub = math.ceil(len(ms) / max_block_size)
+            for m in ms:
+                salt = murmur3_32(m.encode("utf-8")) % nsub
+                final[f"{key}~{salt}"].append(m)
+        else:
+            final[f"{key}~0"] = ms
+    if sum(len(ms) * (len(ms) - 1) // 2 for ms in final.values()) > max_pairs:
+        return None
+
+    def tgs(m: str) -> frozenset:
+        return (
+            frozenset(m[i : i + 3] for i in range(len(m) - 2))
+            if len(m) >= 3
+            else frozenset((m,))
+        )
+
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for ms in final.values():
+        sets = [tgs(m) for m in ms]
+        sizes = [float(len(s)) for s in sets]
+        for ia in range(len(ms)):
+            for ib in range(ia + 1, len(ms)):
+                i = float(len(sets[ia] & sets[ib]))
+                if i / (sizes[ia] + sizes[ib] - i) >= min_jaccard:
+                    ra, rb = find(ms[ia]), find(ms[ib])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+    members: dict[str, list[str]] = defaultdict(list)
+    for x in list(parent):
+        members[find(x)].append(x)
+    comp = {x: min(ms) for ms in members.values() for x in ms}
+    return [(mention, comp.get(m, m)) for mention, m in rows]
+
+
 def canonical_mention_map(
     mentions: DataFrame,
     mention_col: str = "mention",
@@ -290,9 +373,22 @@ def canonical_mention_map(
     max_block_size: int = 1000,
     min_jaccard: float = 0.6,
     checkpoint_dir: str | None = None,
+    driver_threshold: int = 20_000,
+    driver_max_pairs: int = 2_000_000,
 ) -> DataFrame:
     """mention (raw) -> (mention, canonical): canonical = component min of
-    the normalized form; singletons map to their own normalized form."""
+    the normalized form; singletons map to their own normalized form.
+
+    Vocabularies below ``driver_threshold`` distinct mentions take a
+    driver-side fast path (``_driver_mention_map``, label-identical —
+    parity-asserted in tests): the blocking self-join + CC rounds are
+    ~10 Spark jobs of pure scheduler latency for a graph that fits
+    trivially in driver memory — the same small-side escape hatch as
+    ``connected_components``' union-find and a broadcast join. At scale
+    the vocabulary blows past the threshold and the distributed path
+    runs; pass 0 to force it (tests do). The count that gates the path
+    reads the materialized vocabulary's parquet metadata, not the
+    upstream lineage."""
     # one pass over the (possibly expensive) upstream: the distinct mention
     # set is checkpointed, then both the edge derivation and the final map
     # read it back instead of re-running the extraction lineage
@@ -300,6 +396,21 @@ def canonical_mention_map(
         mentions.select(F.col(mention_col).alias("mention")).distinct(),
         checkpoint_dir,
     )
+    if driver_threshold and raw.count() < driver_threshold:
+        rows = [
+            (r["mention"], r["m"])
+            for r in raw.select(
+                "mention", normalize_col(F.col("mention")).alias("m")
+            ).collect()
+        ]
+        mapped = _driver_mention_map(
+            rows, block_prefix_len, max_block_size, min_jaccard, driver_max_pairs
+        )
+        if mapped is not None:
+            return raw.sparkSession.createDataFrame(
+                mapped, "mention string, canonical string"
+            )
+        log.info("driver mention-map pair cap exceeded; distributed path")
     edges = candidate_link_pairs(
         raw, "mention", block_prefix_len, max_block_size, min_jaccard,
         checkpoint_dir=checkpoint_dir,

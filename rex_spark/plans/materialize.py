@@ -154,7 +154,12 @@ def materialize_kg(
             type_map = spark.createDataFrame(
                 list(lexicon.items()), "entity string, etype string"
             )
-            return constrain_triples(triples, kb, type_map)
+            # triples is the stage table read-back: the fan-out re-scan
+            # is two parquet scans, not two extraction passes — skip the
+            # inner checkpoint (see constrain_triples docstring)
+            return constrain_triples(
+                triples, kb, type_map, materialize_licensed=False
+            )
 
         triples = resume_or_run(
             spark,

@@ -280,3 +280,68 @@ def test_constrain_triples_preserves_occurrences(spark):
     )
     got = {tuple(r) for r in constrain_triples(triples, kb, tm).collect()}
     assert got == {("s", "p", "o1", "d1"), ("s", "p", "o1", "d2")}
+
+
+def test_canonical_map_driver_vs_distributed_parity(spark):
+    # the driver fast path must be LABEL-IDENTICAL to the distributed
+    # blocking+CC chain, including the murmur3 sub-salting of an
+    # oversized block (80 same-block mentions, cap 10) and mentions
+    # whose normalized form is empty
+    rows = (
+        [(f"svc item {i:03d}",) for i in range(80)]
+        + [("AuthService",), ("Auth_Service",), ("authservice",),
+           ("DataBus",), ("database",), ("x",), ("''",)]
+    )
+    mentions = spark.createDataFrame(rows, ["mention"])
+    kw = dict(max_block_size=10, min_jaccard=0.6)
+    fast = {
+        (r["mention"], r["canonical"])
+        for r in canonical_mention_map(mentions, **kw).collect()
+    }
+    slow = {
+        (r["mention"], r["canonical"])
+        for r in canonical_mention_map(
+            mentions, driver_threshold=0, **kw
+        ).collect()
+    }
+    assert fast == slow
+
+
+def test_canonical_map_driver_pair_cap_falls_back(spark):
+    # a pair fan-out above driver_max_pairs must fall back to the
+    # distributed path and still produce the same map
+    mentions = spark.createDataFrame([(f"svc{i:02d}",) for i in range(40)], ["mention"])
+    capped = {
+        tuple(r)
+        for r in canonical_mention_map(mentions, driver_max_pairs=5).collect()
+    }
+    full = {
+        tuple(r)
+        for r in canonical_mention_map(mentions, driver_threshold=0).collect()
+    }
+    assert capped == full
+
+
+def test_constrain_triples_unmaterialized_parity(spark):
+    # materialize_licensed=False (the staged read-back path) must give
+    # the same rows as the checkpointed default
+    from rex_spark.operators.constraints import constrain_triples
+
+    kb = spark.createDataFrame(
+        [("s", "o1", "p")], "subj string, obj string, rel string"
+    )
+    tm = spark.createDataFrame(
+        [("s", "T"), ("o1", "U"), ("o2", "U")], "entity string, etype string"
+    )
+    triples = spark.createDataFrame(
+        [("s", "p", "o1", "d1"), ("s", "p", "o2", "d2")],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    a = {tuple(r) for r in constrain_triples(triples, kb, tm).collect()}
+    b = {
+        tuple(r)
+        for r in constrain_triples(
+            triples, kb, tm, materialize_licensed=False
+        ).collect()
+    }
+    assert a == b == {("s", "p", "o1", "d1")}
