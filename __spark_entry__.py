@@ -42,8 +42,26 @@ MAX_GAP = 3
 NO_RELATION = "no_relation"
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exactly as scanned — for queries that immediately filter
+    to a tiny id-range (the rebalance shuffle would move the whole table
+    just to drop most of it) or that are scan-bound anyway."""
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, rebalanced to session parallelism (r6): the driver
+    testdata ships ONE parquet row group per table, so every scan —
+    and the O(mentions²) pair generation, n-gram explodes and regex
+    batteries layered on it — would otherwise run as a single task no
+    matter the core count. ``rebalance_to_parallelism`` is stats-guarded:
+    at real scale (relation >= cores x maxPartitionBytes) it returns the
+    frame untouched, so this is a small-input fix, not a local[32]
+    constant (same contract as the r4/r5 ``_docs_par`` Python-stage
+    rebalance, now applied to the JVM queries too)."""
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    return rebalance_to_parallelism(_docs_raw(spark, sf_dir))
 
 
 def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +71,7 @@ def _docs_par(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-circuits this to a no-op — rex_spark.partitions)."""
     from rex_spark.partitions import rebalance_to_parallelism
 
-    return rebalance_to_parallelism(_docs(spark, sf_dir))
+    return rebalance_to_parallelism(_docs_raw(spark, sf_dir))
 
 
 def _tbl(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -239,7 +257,10 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_topk_docs_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    # raw scan: the window exchange (hash by lang) is the first real
+    # stage either way; a pre-shuffle rebalance would be a second
+    # exchange moving the same rows for nothing
+    _docs_raw(spark, sf_dir).createOrReplaceTempView("documents_v")
     return spark.sql(
         """
         SELECT lang, doc_id, n_chars, rn FROM (
@@ -290,7 +311,9 @@ def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 3-gram shingle Jaccard near-dup pairs among the first 100 docs.
-    _docs(spark, sf_dir).createOrReplaceTempView("documents_v")
+    # raw scan: the doc_id < 100 predicate pushes into the parquet scan;
+    # rebalancing first would shuffle the whole table to keep 100 rows
+    _docs_raw(spark, sf_dir).createOrReplaceTempView("documents_v")
     return spark.sql(
         """
         WITH d AS (SELECT doc_id, split(text, ' ') AS toks FROM documents_v WHERE doc_id < 100),
@@ -388,7 +411,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and enumerates all pairs.
     from rex_spark.operators.dedup import simhash_candidates
 
-    d = _docs(spark, sf_dir).where("doc_id < 200").select(
+    d = _docs_raw(spark, sf_dir).where("doc_id < 200").select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
     )
     out = simhash_candidates(d, max_hamming=10)
@@ -582,9 +605,15 @@ def q_coref_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(0, len(toks), 20)
         ]
 
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    # filter BEFORE the rebalance (r6): the predicate pushes into the
+    # scan, so only the ~100 surviving docs are shuffled to the cores
+    # instead of the whole table
     d = (
-        _docs_par(spark, sf_dir)
-        .where(F.col("doc_id") < 100)
+        rebalance_to_parallelism(
+            _docs_raw(spark, sf_dir).where(F.col("doc_id") < 100)
+        )
         .select(F.col("doc_id").cast("string").alias("doc_id"), "text")
     )
     cands = coref_candidates_from_docs(
@@ -961,6 +990,12 @@ def _kg_graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.lit("ent"), sres.cast("string")).alias("src"),
         F.concat(F.lit("ent"), dres.cast("string")).alias("dst"),
     )
+    # rebalance the planted projection (r6): the orders parquet is two
+    # row groups, so the distinct's partial aggregation over ~1.2M edge
+    # rows would otherwise run on two tasks; stats-guarded no-op at scale
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    planted = rebalance_to_parallelism(planted)
     return real.unionByName(planted).distinct()
 
 
@@ -1133,7 +1168,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rex_spark.operators.curation import decontaminate
 
     d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
-    bench = _docs(spark, sf_dir).where("doc_id < 10").select(
+    bench = _docs_raw(spark, sf_dir).where("doc_id < 10").select(
         F.col("doc_id").alias("bench_id"), F.col("text").alias("content")
     )
     return decontaminate(d, bench, n=8)

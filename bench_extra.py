@@ -1,0 +1,93 @@
+"""Ad-hoc per-query measurement harness for the optimization rounds.
+
+NOT the driver bench (bench.py is frozen): this times individual
+``__spark_entry__.queries()`` entries in isolation — same count()-based
+methodology as bench.py, plus optional noop-sink timing (guide §1.4)
+and ``explain("formatted")`` capture for plans/r06/.
+
+Usage:
+  python bench_extra.py [--sf SF_DIR] [--reps N] [--noop] \
+      [--plans-dir plans/r06 --plans-suffix _before] [query ...]
+
+With no query names: runs every bench.py entry that is a plain
+queries() entry. Prints one JSON line {name: [walls...]}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--noop", action="store_true", help="time a noop write instead of count()")
+    ap.add_argument("--plans-dir", default=None)
+    ap.add_argument("--plans-suffix", default="")
+    ap.add_argument("queries", nargs="*")
+    args = ap.parse_args()
+
+    import numpy as np
+
+    a = np.empty(200_000_000, dtype=np.uint8)
+    a[:] = 1
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a.copy()
+    print(f"# window probe: memcpy {(time.perf_counter()-t0)/3:.3f} s/200MB "
+          f"(quiet ~0.35-0.55), load {os.getloadavg()[0]:.1f}", file=sys.stderr)
+    del a
+
+    import __spark_entry__ as entry
+    from rex_spark.session import get_spark
+
+    spark = get_spark(
+        "rex-bench-extra", master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    q = entry.queries()
+    names = args.queries or sorted(q)
+
+    # warm JVM + parquet footers once (same as bench.py)
+    q["mentions"](spark, args.sf).count()
+
+    out: dict[str, list[float]] = {}
+    for name in names:
+        if name not in q:
+            print(f"# unknown query {name}", file=sys.stderr)
+            continue
+        if args.plans_dir:
+            os.makedirs(args.plans_dir, exist_ok=True)
+            plan = q[name](spark, args.sf)._jdf.queryExecution().explainString(
+                spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+            )
+            with open(os.path.join(args.plans_dir, f"{name}{args.plans_suffix}.txt"), "w") as f:
+                f.write(plan)
+        walls = []
+        for _ in range(args.reps):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.perf_counter()
+            df = q[name](spark, args.sf)
+            if args.noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.count()
+            walls.append(round(time.perf_counter() - t0, 4))
+            spark.sparkContext.setJobDescription(None)
+        out[name] = walls
+        print(f"# {name}: {walls}", file=sys.stderr)
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

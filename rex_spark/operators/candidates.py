@@ -113,13 +113,29 @@ def generate_candidates(
         hashed = cf.hash_space is not None
         for pdf in batches:
             cols: dict[str, list] = {f.name: [] for f in schema.fields}
-            for row in pdf.itertuples(index=False):
-                rd = row._asdict()
-                tokens = list(rd["tokens"])
-                tags = list(rd["tags"]) if rd["tags"] is not None else ["ID"] * len(tokens)
+            # column-zip iteration (r6): itertuples + _asdict built a
+            # namedtuple and a dict PER ROW — measurable pure overhead on
+            # million-candidate corpora; same pattern as
+            # candidates_from_docs below
+            carry_src = [pdf[c].values for c in carry_cols]
+            for rowvals in zip(
+                pdf["doc_id"].values,
+                pdf["sent_idx"].values,
+                pdf["tokens"].values,
+                pdf["tags"].values,
+                pdf["entities"].values,
+                *carry_src,
+            ):
+                rd = {
+                    "doc_id": rowvals[0],
+                    "sent_idx": rowvals[1],
+                }
+                rd.update(zip(carry_cols, rowvals[5:]))
+                tokens = list(rowvals[2])
+                tags = list(rowvals[3]) if rowvals[3] is not None else ["ID"] * len(tokens)
                 ents = (
-                    list(rd["entities"])
-                    if rd["entities"] is not None
+                    list(rowvals[4])
+                    if rowvals[4] is not None
                     else [cf.non_entity] * len(tokens)
                 )
                 if cf.chunk:

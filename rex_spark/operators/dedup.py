@@ -58,9 +58,10 @@ def shingle_set(text: str, k: int = 5) -> np.ndarray:
     return np.unique(h).view(np.int64)
 
 
-def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """(a*x + b) mod p minwise signature, fully vectorized: one
-    (n_shingles x n_hashes) broadcast instead of a per-hash Python loop.
+def _minhash_matrix(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(n_shingles x n_hashes) matrix of (a*x + b) mod p hash values —
+    the shared kernel of ``minhash_signature`` (per-doc min) and the
+    batched segmented-min path in ``minhash_lsh_candidates``.
 
     Overflow note: shingle hashes are folded to 32 bits (xor of the
     64-bit halves — ``shingle_set`` emits full 64-bit polynomial hashes,
@@ -86,8 +87,46 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     lo = a_lo * xx
     lo = (lo & p) + (lo >> np.uint64(61))
     lo = np.where(lo >= p, lo - p, lo)
-    v = (hi + lo + b_) % p  # (S, H); sum < 3p fits in uint64
-    return v.min(axis=0).astype(np.int64)
+    return (hi + lo + b_) % p  # (S, H); sum < 3p fits in uint64
+
+
+def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(a*x + b) mod p minwise signature, fully vectorized: one
+    (n_shingles x n_hashes) broadcast instead of a per-hash Python loop."""
+    return _minhash_matrix(shingles, a, b).min(axis=0).astype(np.int64)
+
+
+# max shingle rows per batched minhash chunk: bounds the (S, n_hashes)
+# uint64 temporaries at ~30 MB apiece while amortizing numpy dispatch
+# over hundreds of documents per call
+_MINHASH_CHUNK_SHINGLES = 30_000
+
+
+def _minhash_signatures_batch(
+    sh_arrs: list[np.ndarray], a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """Minhash signatures for MANY documents in few numpy dispatches:
+    concatenate each chunk's shingle arrays, compute one (S, H) hash
+    matrix, and take per-document segment minima with
+    ``np.minimum.reduceat``. Identical values to per-doc
+    ``minhash_signature`` (the chunking only changes dispatch
+    granularity, never the math) — the per-doc path cost ~15 numpy
+    dispatches per document, which dominated the signature stage."""
+    n = len(sh_arrs)
+    out = np.empty((n, len(a)), dtype=np.int64)
+    i = 0
+    while i < n:
+        j, tot = i, 0
+        while j < n and (tot + len(sh_arrs[j]) <= _MINHASH_CHUNK_SHINGLES or j == i):
+            tot += len(sh_arrs[j])
+            j += 1
+        cat = np.concatenate(sh_arrs[i:j])
+        offs = np.zeros(j - i, dtype=np.intp)
+        np.cumsum([len(s) for s in sh_arrs[i : j - 1]], out=offs[1:])
+        v = _minhash_matrix(cat, a, b)
+        out[i:j] = np.minimum.reduceat(v, offs, axis=0).astype(np.int64)
+        i = j
+    return out
 
 
 def exact_dedup(
@@ -103,6 +142,24 @@ def exact_dedup(
     return docs.groupBy(fp.alias("fp")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min(id_col).alias("keeper")
     )
+
+
+def _band_buckets(sigs: np.ndarray, n_bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, n_hashes) signature matrix -> (n_docs, n_bands) int64
+    bucket keys, fully vectorized: each band's ``rows_per_band`` minhash
+    values are folded through a splitmix64 chain. Identical band chunks
+    always yield identical buckets (the LSH recall contract); hash
+    collisions between different chunks only add false candidates,
+    which the exact verify pass removes — the same contract the old
+    per-chunk crc32 had, at ~2^-64 instead of 2^-32 collision odds.
+    The band index itself is NOT folded in: it is a separate column of
+    the (band, bucket) join key."""
+    v = sigs.astype(np.uint64).reshape(sigs.shape[0], n_bands, rows_per_band)
+    acc = np.zeros((sigs.shape[0], n_bands), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(rows_per_band):
+            acc = _mix64(acc ^ v[:, :, j])
+    return acc.view(np.int64)
 
 
 _SIG_SCHEMA = T.StructType(
@@ -138,20 +195,30 @@ def minhash_lsh_candidates(
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         a_, b_, nb, rpb, k = bparams.value
         for pdf in batches:
-            ids, bands, buckets = [], [], []
+            # per-doc minhash (each already one vectorized numpy pass),
+            # then ONE vectorized banding/bucket emission for the whole
+            # batch (r6): the old per-doc per-band loop did n_docs x
+            # n_bands Python iterations of slice+crc32+list-append —
+            # pure interpreter overhead that dominated the stage
+            ids_out: list[str] = []
+            sh_arrs: list[np.ndarray] = []
             for doc_id, text in zip(pdf[id_col], pdf[text_col]):
                 if text is None:
                     continue
-                sig = minhash_signature(shingle_set(str(text), k), a_, b_)
-                for band in range(nb):
-                    chunk = sig[band * rpb : (band + 1) * rpb]
-                    ids.append(str(doc_id))
-                    bands.append(band)
-                    buckets.append(
-                        zlib.crc32(chunk.tobytes() + band.to_bytes(2, "little"))
-                    )
-            if ids:
-                yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
+                sh_arrs.append(shingle_set(str(text), k))
+                ids_out.append(str(doc_id))
+            if not ids_out:
+                continue
+            sigs = _minhash_signatures_batch(sh_arrs, a_, b_)  # (n_docs, n_hashes)
+            buckets = _band_buckets(sigs, nb, rpb)  # (n_docs, n_bands)
+            n = len(ids_out)
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(ids_out, dtype=object), nb),
+                    "band": np.tile(np.arange(nb, dtype=np.int32), n),
+                    "bucket": buckets.reshape(-1),
+                }
+            )
 
     from ..partitions import rebalance_to_parallelism
 
@@ -203,9 +270,16 @@ def verify_jaccard(
     def sh_arr(texts: pd.Series) -> pd.Series:
         return pd.Series([shingle_set(str(t), shingle_k).tolist() for t in texts])
 
+    from ..partitions import rebalance_to_parallelism
+
     # pairs is traversed twice (id set + final join) and usually carries
-    # an expensive LSH lineage — materialize it once
-    pairs = materialize(pairs, checkpoint_dir)
+    # an expensive LSH lineage — materialize it once. Rebalance the
+    # materialized frame (r6): AQE coalesces the upstream distinct to a
+    # handful of partitions at advisory size, which then caps the
+    # per-pair intersect stage below at that parallelism (measured 8
+    # tasks on 32 cores at sf1.0 — the whole verify wall); the stats
+    # guard makes this a no-op when the pair set is genuinely large.
+    pairs = rebalance_to_parallelism(materialize(pairs, checkpoint_dir))
     ids = (
         pairs.select(F.col("doc_a").alias(id_col))
         .union(pairs.select(F.col("doc_b").alias(id_col)))
@@ -220,16 +294,55 @@ def verify_jaccard(
     )
     da = shingled.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
     db = shingled.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
+    # Join strategy (r6, guide §3.1/§2.3): a weak-similarity corpus
+    # (template noise just under the LSH threshold) admits FAR more
+    # candidate pairs than true ones, and a sort-merge join here sorts
+    # every pair row WITH its attached shingle array — at sf1.0 that
+    # was 680k pairs x ~1.7 KB arrays through two SMJ sorts, 12 s of a
+    # 16 s query. The shingled table itself is small (one row per
+    # DISTINCT candidate doc, ~80 MB), so broadcast it to both join
+    # legs when it fits a bounded cap; pairs then stream map-side with
+    # zero exchange. The cap is measured from the MATERIALIZED table
+    # (one tiny agg over checkpoint blocks — localCheckpoint plan stats
+    # are lineage estimates, useless here), and the fallback is the
+    # shuffle join, so the 100 TB shape is unchanged — same small-side
+    # escape hatch as linking.py.
+    try:
+        _row = shingled.agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("_sh")).alias("s")
+        ).first()
+        # 8 bytes per shingle hash + per-row id/struct overhead
+        _sh_bytes = int(_row["s"] or 0) * 8 + int(_row["n"]) * 64
+    except Exception:  # non-JVM-backed plan: keep the shuffle join
+        _sh_bytes = None
+    if _sh_bytes is not None and _sh_bytes <= 256 << 20:
+        da, db = F.broadcast(da), F.broadcast(db)
     joined = pairs.join(da, "doc_a").join(db, "doc_b")
     inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    return (
-        joined.withColumn(
-            "jaccard",
-            F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6),
-        )
-        .where(F.col("jaccard") >= min_jaccard)
-        .drop("_sa", "_sb")
+    # arrays are sorted-unique by construction (shingle_set -> np.unique),
+    # so |A ∪ B| = |A| + |B| - |A ∩ B| exactly — one hash-set pass
+    # instead of array_union's second one
+    union = F.size("_sa") + F.size("_sb") - inter
+    jac = F.round(F.when(union > 0, inter / union).otherwise(F.lit(0.0)), 6)
+    # threshold via a 0/1-row generator instead of withColumn + where
+    # (r6): Catalyst pushes a filter on a projected column below the
+    # Project by SUBSTITUTING the expression into the predicate, so the
+    # straightforward formulation evaluated array_intersect twice per
+    # pair — once in the (pushed) filter, once for the output column —
+    # and on a weak-pair-heavy corpus that doubled the dominant stage
+    # (the JVM-expression flavor of guide §4.4). The generator is
+    # explode(filter(array(jac), x -> x >= t)): ``jac`` (and its
+    # array_intersect) appears exactly ONCE in the expression tree —
+    # GenerateExec does no common-subexpression elimination, so an
+    # explode(when(jac >= t, array(jac))) formulation would still
+    # compute it twice. Output rows/columns are identical to the
+    # withColumn + where original.
+    pair_cols = [c for c in pairs.columns]
+    return joined.select(
+        *pair_cols,
+        F.explode(
+            F.filter(F.array(jac), lambda x: x >= F.lit(float(min_jaccard)))
+        ).alias("jaccard"),
     )
 
 

@@ -144,7 +144,7 @@ def connected_components(
     src: str = "ma",
     dst: str = "mb",
     max_iter: int = 50,
-    driver_threshold: int = 100_000,
+    driver_threshold: int = 500_000,
     checkpoint_dir: str | None = None,
     hub_salts: int = 16,
 ) -> DataFrame:
@@ -165,8 +165,12 @@ def connected_components(
     Edge sets below ``driver_threshold`` are solved by a driver-side
     union-find instead (identical labels): a handful of Spark rounds is
     pure scheduling overhead for a graph that fits trivially in driver
-    memory — the same small-side escape hatch as a broadcast join. Pass
-    0 to force the distributed path (tests do).
+    memory — the same small-side escape hatch as a broadcast join. The
+    default (500k edges, r6; was 100k) is sized like the broadcast
+    threshold: ~tens of MB collected, far under driver memory, while a
+    100 TB-scale mention graph (10^8+ edges) still takes the
+    distributed star-contraction path. Pass 0 to force the distributed
+    path (tests do).
     """
     # materialize the edge projection ONCE: `edges` may carry an arbitrarily
     # expensive lineage (the full extraction pipeline), and this loop issues
@@ -197,22 +201,35 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in e0.collect():
-            ra, rb = find(row["u"]), find(row["v"])
+        # Arrow on BOTH driver transfers (r6, guide §6): row-wise
+        # collect() pickles every edge and createDataFrame(list) pickles
+        # every label back — at the threshold that was seconds of pure
+        # serialization (the escape hatch cost more than the distributed
+        # path it replaced); toPandas/createDataFrame(pandas) move the
+        # same rows as a handful of Arrow batches.
+        epdf = e0.toPandas()
+        for ra, rb in zip(epdf["u"], epdf["v"]):
+            ra, rb = find(ra), find(rb)
             if ra != rb:
                 parent[max(ra, rb)] = min(ra, rb)
-        # component label = min member (matches the distributed algorithm)
+        # component label = min member (matches the distributed algorithm).
+        # min(ms) is hoisted out of the member loop (r6): the previous
+        # comprehension re-evaluated it PER MEMBER — O(|component|²)
+        # comparisons, 20 s of the 25 s driver path on a 6k-member
+        # component graph at sf1.0.
         members: dict = {}
         for x in list(parent):
             members.setdefault(find(x), []).append(x)
-        labels = [
-            (x, min(ms)) for r, ms in members.items() for x in ms
-        ]
+        labels: list = []
+        for ms in members.values():
+            lab = min(ms)
+            labels.extend((x, lab) for x in ms)
+        import pandas as pd
         from pyspark.sql import types as T
 
         ntype = e0.schema["u"].dataType
         lab_df = spark.createDataFrame(
-            labels,
+            pd.DataFrame(labels, columns=["node", "comp"]),
             T.StructType(
                 [T.StructField("node", ntype), T.StructField("comp", ntype)]
             ),

@@ -45,12 +45,20 @@ def rebalance_to_parallelism(df: DataFrame) -> DataFrame:
     spark = df.sparkSession
     target = spark.sparkContext.defaultParallelism
     try:
-        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-        max_split = _size_bytes(
-            spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
-        )
-        if size >= target * max_split:
-            return df
+        plan = df._jdf.queryExecution().optimizedPlan()
+        # LogicalRDD (a localCheckpoint/checkpoint read-back) reports the
+        # PRE-materialization estimate of its lineage as sizeInBytes —
+        # observed 7.5 TB for a 30 MB checkpointed pair table — so the
+        # skip shortcut would fire exactly when the caller most needs the
+        # repartition (r6). For a checkpointed frame getNumPartitions is
+        # trivially cheap anyway; only trust stats for scan-backed plans.
+        if plan.nodeName() != "LogicalRDD":
+            size = int(plan.stats().sizeInBytes())
+            max_split = _size_bytes(
+                spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+            )
+            if size >= target * max_split:
+                return df
     except Exception:
         pass  # stats unavailable (non-JVM-backed plan): use the exact path
     if df.rdd.getNumPartitions() < target:

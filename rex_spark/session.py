@@ -24,6 +24,13 @@ _BASE_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.execution.arrow.maxRecordsPerBatch": "10000",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # let the planner pick shuffled-hash over sort-merge when its size
+    # conditions hold (guide §3.1/§9): none of the engine's shuffle
+    # joins benefit from sorted output, and skipping the per-partition
+    # sorts removes the dominant cost on array-carrying join inputs
+    # (e.g. the dedup verify pass joins pair rows to shingle arrays).
+    # Same knob on a real cluster; AQE still falls back per partition.
+    "spark.sql.join.preferSortMergeJoin": "false",
     "spark.sql.session.timeZone": "UTC",
     # zstd over the snappy default for every table/stage write: measured
     # 10% faster END-TO-END on the staged pipeline at BOTH 4 and 16

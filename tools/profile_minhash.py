@@ -1,0 +1,86 @@
+"""Stage-level timing of the dedup_minhash query path (guide §1.4):
+signature stage, candidate join, verify pass — each isolated with the
+noop sink / localCheckpoint boundaries so the stage cost is visible.
+
+Usage: python tools/profile_minhash.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf1.0"
+    from rex_spark.operators.dedup import minhash_lsh_candidates, verify_jaccard
+    from rex_spark.session import get_spark
+
+    spark = get_spark("profile-minhash", master="local[32]", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
+    )
+    d.count()  # warm
+
+    for rep in range(3):
+        t0 = time.perf_counter()
+        cand = minhash_lsh_candidates(d, n_hashes=120, n_bands=20)
+        cand_m = cand.localCheckpoint()
+        n_cand = cand_m.count()
+        t1 = time.perf_counter()
+        out = verify_jaccard(cand_m, d, min_jaccard=0.5).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+        n_out = out.count()
+        t2 = time.perf_counter()
+        print(
+            f"rep{rep}: candidates(sig+join) {t1-t0:.2f}s ({n_cand} pairs)  "
+            f"verify {t2-t1:.2f}s ({n_out} pairs)  total {t2-t0:.2f}s"
+        )
+
+    # signature stage alone (noop sink)
+    from rex_spark.operators import dedup as dd
+    from rex_spark.partitions import rebalance_to_parallelism
+
+    for rep in range(3):
+        a, b = dd._hash_params(120, 42)
+        bparams = spark.sparkContext.broadcast((a, b, 20, 6, 5))
+        import pandas as pd
+
+        def fn(batches, bparams=bparams):
+            a_, b_, nb, rpb, k = bparams.value
+            import zlib
+            for pdf in batches:
+                ids, bands, buckets = [], [], []
+                for doc_id, text in zip(pdf["doc_id"], pdf["content"]):
+                    if text is None:
+                        continue
+                    sig = dd.minhash_signature(dd.shingle_set(str(text), k), a_, b_)
+                    for band in range(nb):
+                        chunk = sig[band * rpb : (band + 1) * rpb]
+                        ids.append(str(doc_id))
+                        bands.append(band)
+                        buckets.append(
+                            zlib.crc32(chunk.tobytes() + band.to_bytes(2, "little"))
+                        )
+                if ids:
+                    yield pd.DataFrame({"doc_id": ids, "band": bands, "bucket": buckets})
+
+        sig_in = rebalance_to_parallelism(d.select("doc_id", "content"))
+        t0 = time.perf_counter()
+        sig_in.mapInPandas(fn, dd._SIG_SCHEMA).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        print(f"rep{rep}: signature stage alone (noop) {time.perf_counter()-t0:.2f}s")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
