@@ -143,7 +143,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def q_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    m = extract_mentions(_docs(spark, sf_dir), ENTITY_WORDS, id_col="doc_id", text_col="text")
+    m = extract_mentions(_docs_raw(spark, sf_dir), ENTITY_WORDS, id_col="doc_id", text_col="text")
     return m.select("doc_id", F.col("pos").cast("bigint").alias("pos"), "mention")
 
 
@@ -201,6 +201,8 @@ def q_normalize_mentions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kb_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # measured r6: rebalancing orders before the joins shuffles the full
+    # row width for less than the two-task scan costs — left alone
     c = _tbl(spark, sf_dir, "customer")
     n = _tbl(spark, sf_dir, "nation")
     o = _tbl(spark, sf_dir, "orders")
@@ -217,14 +219,14 @@ def q_kb_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     return d.groupBy(F.md5(F.col("text")).alias("fp")).agg(
         F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper")
     )
 
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     toks = F.split(F.col("text"), " ")
     n_tokens = F.size(toks).cast("bigint")
     n_distinct = F.size(F.array_distinct(toks)).cast("bigint")
@@ -292,20 +294,31 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q3-style join pipeline: dimension filters + fact join + agg.
-    _tbl(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
-    _tbl(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
-    _tbl(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
-    return spark.sql(
-        """
-        SELECT c_mktsegment,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
-                        * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
-               COUNT(*) AS n_lineitems
-        FROM customer_v
-        JOIN orders_v ON c_custkey = o_custkey
-        JOIN lineitem_v ON l_orderkey = o_orderkey
-        GROUP BY c_mktsegment
-        """
+    # Explicit build-side choice (r6, guide §3.1): lineitem's
+    # column-pruned size estimate slips under the auto-broadcast
+    # threshold, so the SQL formulation built a 6M-row hash relation
+    # out of the FACT table and probed it with the (two-scan-task)
+    # orders x customer stream — the biggest side collected to the
+    # driver, the small side doing the scanning. Join the dimension
+    # chain first and broadcast ITS result instead; lineitem streams
+    # at scan parallelism. Same rows out (the oracle SQL is unchanged;
+    # aggregate expressions are textually identical).
+    c = _tbl(spark, sf_dir, "customer")
+    o = _tbl(spark, sf_dir, "orders")
+    li = _tbl(spark, sf_dir, "lineitem")
+    co = c.join(o, c["c_custkey"] == o["o_custkey"]).select(
+        "o_orderkey", "c_mktsegment"
+    )
+    return (
+        li.join(F.broadcast(co), li["l_orderkey"] == co["o_orderkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            F.expr(
+                "CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))"
+                " * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE)"
+            ).alias("revenue"),
+            F.expr("COUNT(*)").alias("n_lineitems"),
+        )
     )
 
 
@@ -367,7 +380,7 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rex_spark.operators.textstats import quality_cols
 
-    d = _docs(spark, sf_dir).withColumnRenamed("text", "content")
+    d = _docs_raw(spark, sf_dir).withColumnRenamed("text", "content")
     return d.select(F.col("doc_id"), *quality_cols("content"))
 
 
@@ -391,16 +404,19 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # gap (template noise tops out near J=0.35; planted near-dups sit at
     # J>=0.9), the verified output equals the exact-threshold pair set,
     # so a DuckDB exact 5-gram-Jaccard oracle checks it hash-exactly.
-    from rex_spark.operators.dedup import minhash_lsh_candidates, verify_jaccard
+    from rex_spark.operators.dedup import minhash_dedup_pairs
 
     d = _docs(spark, sf_dir).select(
         F.col("doc_id").cast("string").alias("doc_id"), F.col("text").alias("content")
     )
     # r=6, b=20 -> t ~ 0.61: recall at J>=0.9 is 1 - (1-0.53)^20 ~ 1-3e-7
     # (near-dups never missed) while J~0.3 template noise is admitted at
-    # ~1% (the verify join stays linear in true pairs, not weak pairs)
-    cand = minhash_lsh_candidates(d, n_hashes=120, n_bands=20)
-    return verify_jaccard(cand, d, min_jaccard=0.5).select("doc_a", "doc_b", "jaccard")
+    # ~1%. Fused operator (r6): one shingle pass feeds both the
+    # signature stage and the exact verify — output identical to the
+    # composed minhash_lsh_candidates |> verify_jaccard form.
+    return minhash_dedup_pairs(
+        d, n_hashes=120, n_bands=20, min_jaccard=0.5
+    ).select("doc_a", "doc_b", "jaccard")
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1192,7 +1208,7 @@ def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle checks detection + the email->IP->phone redaction order.
     from rex_spark.operators.curation import pii_stats
 
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     inj = d.select(
         "doc_id",
         F.concat(
@@ -1223,15 +1239,16 @@ def q_code_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # non-empty line are dropped (nothing to measure) in both engines.
     from rex_spark.operators.curation import code_stats
 
-    d = _docs(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
+    d = _docs_raw(spark, sf_dir).select("doc_id", F.col("text").alias("content"))
     return code_stats(d)
 
 
 def _banner_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with deterministic license/autogen banner lines
     prepended by doc_id residue class — the cross-doc boilerplate the
-    organic corpus lacks; the oracle mirrors the injection in SQL."""
-    d = _docs(spark, sf_dir)
+    organic corpus lacks; the oracle mirrors the injection in SQL.
+    Raw scan: the line explode + distinct is cheap per doc (r6)."""
+    d = _docs_raw(spark, sf_dir)
     return d.select(
         "doc_id",
         F.concat(
@@ -1400,7 +1417,7 @@ def q_license_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (license, n_docs). Pure projection + one tiny aggregate.
     from rex_spark.operators.curation import detect_license
 
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     inj = d.select(
         "doc_id",
         F.concat(
@@ -1491,7 +1508,7 @@ def q_secret_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # aws_key/secret_assign disjointness.
     from rex_spark.operators.curation import secret_scan
 
-    d = _docs(spark, sf_dir)
+    d = _docs_raw(spark, sf_dir)
     inj = d.select(
         "doc_id",
         F.concat(

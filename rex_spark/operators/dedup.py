@@ -87,7 +87,12 @@ def _minhash_matrix(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.nd
     lo = a_lo * xx
     lo = (lo & p) + (lo >> np.uint64(61))
     lo = np.where(lo >= p, lo - p, lo)
-    return (hi + lo + b_) % p  # (S, H); sum < 3p fits in uint64
+    # hi + lo + b < 3p < 2^63: Mersenne fold (v mod 2^61 plus v >> 61 is
+    # congruent mod p and lands below 2p) + one conditional subtract —
+    # identical values to the previous `% p`, without the vector divide
+    v = hi + lo + b_
+    v = (v & p) + (v >> np.uint64(61))
+    return np.where(v >= p, v - p, v)  # (S, H)
 
 
 def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
@@ -96,36 +101,22 @@ def minhash_signature(shingles: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.
     return _minhash_matrix(shingles, a, b).min(axis=0).astype(np.int64)
 
 
-# max shingle rows per batched minhash chunk: bounds the (S, n_hashes)
-# uint64 temporaries at ~30 MB apiece while amortizing numpy dispatch
-# over hundreds of documents per call
-_MINHASH_CHUNK_SHINGLES = 30_000
-
-
 def _minhash_signatures_batch(
     sh_arrs: list[np.ndarray], a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """Minhash signatures for MANY documents in few numpy dispatches:
-    concatenate each chunk's shingle arrays, compute one (S, H) hash
-    matrix, and take per-document segment minima with
-    ``np.minimum.reduceat``. Identical values to per-doc
-    ``minhash_signature`` (the chunking only changes dispatch
-    granularity, never the math) — the per-doc path cost ~15 numpy
-    dispatches per document, which dominated the signature stage."""
-    n = len(sh_arrs)
-    out = np.empty((n, len(a)), dtype=np.int64)
-    i = 0
-    while i < n:
-        j, tot = i, 0
-        while j < n and (tot + len(sh_arrs[j]) <= _MINHASH_CHUNK_SHINGLES or j == i):
-            tot += len(sh_arrs[j])
-            j += 1
-        cat = np.concatenate(sh_arrs[i:j])
-        offs = np.zeros(j - i, dtype=np.intp)
-        np.cumsum([len(s) for s in sh_arrs[i : j - 1]], out=offs[1:])
-        v = _minhash_matrix(cat, a, b)
-        out[i:j] = np.minimum.reduceat(v, offs, axis=0).astype(np.int64)
-        i = j
+    """Minhash signatures for MANY documents: per-document vectorized
+    passes stacked into one matrix. Measured AGAINST a segmented
+    concatenate + ``np.minimum.reduceat`` formulation (r6): for typical
+    ~200-shingle documents the per-doc (S x H) temporaries stay
+    cache-resident (~200 KB) while any multi-document chunk large
+    enough to amortize dispatch spills to main memory — on this
+    shared-bus box the 30k-shingle chunk variant was 3x SLOWER
+    single-core and collapsed entirely at 32 workers (memory-bandwidth
+    bound). Dispatch overhead is ~10% of the math here; keep the
+    cache-friendly shape."""
+    out = np.empty((len(sh_arrs), len(a)), dtype=np.int64)
+    for i, s in enumerate(sh_arrs):
+        out[i] = _minhash_matrix(s, a, b).min(axis=0)
     return out
 
 
@@ -292,6 +283,15 @@ def verify_jaccard(
         ),
         checkpoint_dir,
     )
+    return _verify_pairs_against_shingles(pairs, shingled, id_col, min_jaccard)
+
+
+def _verify_pairs_against_shingles(
+    pairs: DataFrame, shingled: DataFrame, id_col: str, min_jaccard: float
+) -> DataFrame:
+    """Exact-Jaccard thresholding of candidate pairs against a
+    MATERIALIZED (id, _sh sorted-unique shingle array) table — the
+    shared tail of ``verify_jaccard`` and ``minhash_dedup_pairs``."""
     da = shingled.select(F.col(id_col).alias("doc_a"), F.col("_sh").alias("_sa"))
     db = shingled.select(F.col(id_col).alias("doc_b"), F.col("_sh").alias("_sb"))
     # Join strategy (r6, guide §3.1/§2.3): a weak-similarity corpus
@@ -344,6 +344,98 @@ def verify_jaccard(
             F.filter(F.array(jac), lambda x: x >= F.lit(float(min_jaccard)))
         ).alias("jaccard"),
     )
+
+
+def minhash_dedup_pairs(
+    docs: DataFrame,
+    text_col: str = "content",
+    id_col: str = "doc_id",
+    n_hashes: int = 128,
+    n_bands: int = 32,
+    shingle_k: int = 5,
+    min_jaccard: float = 0.6,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Fused minhash-LSH recall + exact-Jaccard precision pass:
+    identical output to ``verify_jaccard(minhash_lsh_candidates(docs),
+    docs)`` with the SAME banding/threshold parameters, but the corpus
+    is shingled exactly ONCE (guide §1.2: the composed form tokenized
+    every document twice — once for signatures, once for verification —
+    and the shingle pass is the single most expensive Python stage of
+    the pipeline). Stages:
+
+      1. shingle table (id, _sh) — one narrow pandas stage, materialized;
+      2. signatures + banding FROM the shingle arrays (no re-tokenize),
+         materialized; bucket self-join -> distinct candidate pairs;
+      3. exact verify of the pairs against the same shingle table
+         (broadcast under the measured-size cap, shuffle join above it).
+    """
+    assert n_hashes % n_bands == 0
+    rows_per_band = n_hashes // n_bands
+    a, b = _hash_params(n_hashes, seed)
+    spark = docs.sparkSession
+    bparams = spark.sparkContext.broadcast(
+        (a, b, n_bands, rows_per_band, shingle_k)
+    )
+
+    from ..checkpoint import materialize
+    from ..partitions import rebalance_to_parallelism
+
+    # ONE Python pass emits BOTH per-doc products — the sorted-unique
+    # shingle array (for the exact verify) and the per-band bucket array
+    # (for the LSH join): a separate signature stage would ship the
+    # shingle arrays through Arrow twice (out of the shingle stage, back
+    # into the signature stage) for no reason, and a per-band row layout
+    # here would duplicate the shingle array n_bands times. The band
+    # table is a JVM posexplode over the materialized combined table.
+    _comb_schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), False),
+            T.StructField("_sh", T.ArrayType(T.LongType()), False),
+            T.StructField("_buckets", T.ArrayType(T.LongType()), False),
+        ]
+    )
+
+    def comb_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        a_, b_, nb, rpb, k = bparams.value
+        for pdf in batches:
+            ids: list[str] = []
+            sh_arrs: list[np.ndarray] = []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                if text is None:
+                    continue
+                sh_arrs.append(shingle_set(str(text), k))
+                ids.append(str(doc_id))
+            if not ids:
+                continue
+            sigs = _minhash_signatures_batch(sh_arrs, a_, b_)
+            buckets = _band_buckets(sigs, nb, rpb)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "_sh": [s.tolist() for s in sh_arrs],
+                    "_buckets": buckets.tolist(),
+                }
+            )
+
+    sh_in = rebalance_to_parallelism(docs.select(id_col, text_col))
+    combined = materialize(sh_in.mapInPandas(comb_fn, _comb_schema), checkpoint_dir)
+    shingled = combined.select(id_col, "_sh")
+    sigs = combined.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode("_buckets").alias("band", "bucket"),
+    )
+    x = sigs.alias("x")
+    y = sigs.alias("y")
+    pairs = (
+        x.join(y, ["band", "bucket"])
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .select(F.col("x.doc_id").alias("doc_a"), F.col("y.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pairs = rebalance_to_parallelism(materialize(pairs, checkpoint_dir))
+    return _verify_pairs_against_shingles(pairs, shingled, id_col, min_jaccard)
 
 
 def _mix64(h: np.ndarray) -> np.ndarray:

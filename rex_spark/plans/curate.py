@@ -37,7 +37,7 @@ from ..operators.curation import (
     redact_secrets,
     strip_boilerplate,
 )
-from ..operators.dedup import exact_dedup, minhash_lsh_candidates, verify_jaccard
+from ..operators.dedup import exact_dedup, minhash_dedup_pairs
 from ..operators.textstats import detect_language, quality_cols, token_count_cols
 from ..sources.catalog import resume_or_run
 
@@ -166,8 +166,12 @@ def curate_corpus(
         d = _exact_kept().select(
             F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("content")
         )
-        cand = minhash_lsh_candidates(d, n_hashes=n_hashes, n_bands=n_bands)
-        return verify_jaccard(cand, d, min_jaccard=min_jaccard)
+        # fused operator (r6): one shingle pass feeds signatures AND the
+        # exact verify; output identical to the composed
+        # minhash_lsh_candidates |> verify_jaccard form
+        return minhash_dedup_pairs(
+            d, n_hashes=n_hashes, n_bands=n_bands, min_jaccard=min_jaccard
+        )
 
     neardup = resume_or_run(
         spark, os.path.join(out_dir, "neardup"), "neardup", build_neardup,
