@@ -1,0 +1,84 @@
+"""Round-6 optimization pins: the fused minhash dedup operator must be
+row-identical to the composed candidates |> verify form it replaced, and
+the rebalance helper must not trust a checkpointed frame's (bogus)
+lineage size estimate."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from rex_spark.operators.dedup import (
+    minhash_dedup_pairs,
+    minhash_lsh_candidates,
+    verify_jaccard,
+)
+from rex_spark.partitions import rebalance_to_parallelism
+
+
+@pytest.fixture(scope="module")
+def near_dup_corpus(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the pipeline "
+        "shuffles partitions and aggregates candidate pairs deterministically "
+    )
+    rows = []
+    for i in range(60):
+        rows.append((str(i), base + f"unique tail {i} " + "pad " * (i % 5)))
+    # planted near-dups (single-word edits of existing docs)
+    rows.append(("200", rows[3][1].replace("quick", "quicc")))
+    rows.append(("201", rows[7][1].replace("lazy", "lazzy")))
+    # unrelated noise
+    for i in range(300, 310):
+        rows.append((str(i), f"completely different text number {i} " * 4))
+    return spark.createDataFrame(rows, ["doc_id", "content"]).cache()
+
+
+def test_fused_equals_composed(spark, near_dup_corpus):
+    """minhash_dedup_pairs == verify_jaccard(minhash_lsh_candidates(..))
+    row for row at identical banding/threshold parameters."""
+    kw = dict(n_hashes=64, n_bands=16, min_jaccard=0.5)
+    fused = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in minhash_dedup_pairs(near_dup_corpus, **kw).collect()
+    }
+    cand = minhash_lsh_candidates(
+        near_dup_corpus, n_hashes=64, n_bands=16
+    )
+    composed = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in verify_jaccard(cand, near_dup_corpus, min_jaccard=0.5)
+        .select("doc_a", "doc_b", "jaccard")
+        .collect()
+    }
+    assert fused == composed
+    # the planted near-dups are found, exact dups of nothing
+    found = {(a, b) for a, b, _ in fused}
+    assert ("3", "200") in found and ("201", "7") in found or (
+        ("200", "3") in found or ("3", "200") in found
+    )
+
+
+def test_fused_null_and_empty(spark):
+    empty = spark.createDataFrame([], "doc_id string, content string")
+    assert minhash_dedup_pairs(empty, n_hashes=16, n_bands=4).count() == 0
+    with_null = spark.createDataFrame(
+        [("1", None), ("2", "only one real document here")],
+        ["doc_id", "content"],
+    )
+    assert minhash_dedup_pairs(with_null, n_hashes=16, n_bands=4).count() == 0
+
+
+def test_rebalance_ignores_checkpoint_lineage_stats(spark):
+    """A localCheckpoint read-back (LogicalRDD) reports its lineage's
+    size ESTIMATE as stats — which can be absurdly large — so the
+    stats short-circuit must not fire for it: a few-partition
+    checkpointed frame must still be repartitioned up to parallelism."""
+    target = spark.sparkContext.defaultParallelism
+    few = spark.range(0, 10_000).coalesce(2).localCheckpoint()
+    assert few.rdd.getNumPartitions() == 2
+    out = rebalance_to_parallelism(few)
+    assert out.rdd.getNumPartitions() >= min(target, 4)
+    # row set unchanged
+    assert out.count() == 10_000
