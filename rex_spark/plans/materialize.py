@@ -125,10 +125,35 @@ def materialize_kg(
         spark, trip_path, "triples", build_triples, partition_by=["pred"], config_echo=echo
     )
 
+    # Content verification OVERLAPS the downstream stage builds (r6,
+    # guide §2.6): the check is a read-only action over the already-
+    # materialized triples table + the source docs, fully independent of
+    # the constrained/canonical builds, so it runs from a driver thread
+    # and its tasks back-fill executors left idle by the downstream
+    # stages' tails. The thread is joined (and any failure re-raised)
+    # BEFORE this function returns, so the caller still never receives
+    # a result whose provenance check failed — same contract, less
+    # serial wall. Verified-failure semantics are pinned in
+    # tests/test_content_equality.py.
+    verify_thread = None
+    verify_err: list[BaseException] = []
     if verify_content or verify_content is None:
         has_cols = "content_sha256" in triples.columns and "content" in docs.columns
         if has_cols:
-            assert_content_equality(triples, docs)
+            from pyspark import inheritable_thread_target
+            import threading
+
+            _tr, _docs_ref = triples, docs
+
+            @inheritable_thread_target
+            def _run_check() -> None:
+                try:
+                    assert_content_equality(_tr, _docs_ref)
+                except BaseException as e:  # re-raised on join
+                    verify_err.append(e)
+
+            verify_thread = threading.Thread(target=_run_check, daemon=True)
+            verify_thread.start()
         elif verify_content:
             raise ValueError(
                 "verify_content=True but the check cannot run: it needs "
@@ -144,6 +169,12 @@ def materialize_kg(
                 "'content_sha256'/'content' columns not present "
                 "(set PipelineConfig.carry_cols to carry the digest)"
             )
+
+    def _join_verify() -> None:
+        if verify_thread is not None:
+            verify_thread.join()
+            if verify_err:
+                raise verify_err[0]
 
     if apply_constraints:
         from ..operators.constraints import constrain_triples
@@ -171,6 +202,7 @@ def materialize_kg(
         )
 
     if not link_entities:
+        _join_verify()
         return triples
 
     canon_path = os.path.join(out_dir, "canonical")
@@ -184,9 +216,11 @@ def materialize_kg(
         mm = canonical_mention_map(mentions)
         return canonicalize_triples(triples, mm)
 
-    return resume_or_run(
+    out = resume_or_run(
         spark, canon_path, "canonical", build_canonical, partition_by=["pred"], config_echo=echo
     )
+    _join_verify()
+    return out
 
 
 def content_equality_check(
