@@ -906,7 +906,9 @@ def q_content_equality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle recomputes both digests in DuckDB sha256().
     from rex_spark.plans.materialize import content_equality_check
 
-    d = _docs(spark, sf_dir)
+    # raw scan (r6): both sides are cheap sha256 projections of the same
+    # table — a rebalance would add two exchanges to hash 50k rows
+    d = _docs_raw(spark, sf_dir)
     carried = d.select("doc_id", F.sha2(F.col("text"), 256).alias("content_sha256"))
     drifted = d.withColumn(
         "text",

@@ -143,14 +143,10 @@ def _hyperplane_buckets_multi(
                 )
             yield pd.concat(frames)
 
-    from ..partitions import rebalance_to_parallelism
-
-    # the bucket stage is the one corpus-wide Python pass of the ANN
-    # index build; a single-split source would pin it to one task (r6 —
-    # stats-guarded no-op at real scale)
-    return rebalance_to_parallelism(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(fn, schema)
+    # measured r6: a pre-stage rebalance of the (small) embeddings scan
+    # cost more than the single-task matmul it spread — left at scan
+    # parallelism; at real scale the scan has real splits anyway
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
 def _hyperplane_buckets(
@@ -185,11 +181,7 @@ def _hyperplane_buckets(
                 bucket |= signs[:, j].astype(np.int64) << j
             yield pd.DataFrame({id_col: pdf[id_col].values, "bucket": bucket})
 
-    from ..partitions import rebalance_to_parallelism
-
-    return rebalance_to_parallelism(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(fn, schema)
+    return embeddings.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
 def _cosine_pairs_exact(
@@ -415,12 +407,7 @@ def ivf_topk(
             a = np.argmax(Mn @ Cn_.T, axis=1).astype(np.int32)
             yield pd.DataFrame({id_col: pdf[id_col].values, "centroid": a})
 
-    from ..partitions import rebalance_to_parallelism
-
-    # same single-split guard as the LSH bucket stage (r6)
-    assigned = rebalance_to_parallelism(
-        embeddings.select(id_col, vec_col)
-    ).mapInPandas(assign, schema)
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(assign, schema)
 
     # query probes: n_probe nearest centroids, computed driver-side with
     # the same cosine formula (ties -> lowest ordinal)
