@@ -1,0 +1,77 @@
+"""Isolated repro of the bench kg_staged_cold/resume entries with
+per-stage walls printed per attempt (diagnosing a one-off labeled-stage
+spike seen in a full-suite run). Mirrors bench.py's setup exactly."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def probe() -> float:
+    import numpy as np
+
+    a = np.empty(200_000_000, dtype=np.uint8)
+    a[:] = 1
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a.copy()
+    return (time.perf_counter() - t0) / 3
+
+
+def main() -> None:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+
+    from rex_spark.plans.materialize import materialize_kg
+    from rex_spark.session import get_spark
+    from rex_spark.sources.catalog import read_manifest
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    spark = get_spark(
+        "rex-staged-repro", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    conf = CorpusConfig(n_docs=20000, n_entities=400, n_kb=800, n_repos=100, seed=42)
+    docs = corpus_df(spark, conf, partitions=cpus * 2).cache()
+    docs.count()
+    kb = kb_df(spark, conf)
+    lex = make_lexicon(conf)
+
+    for i in range(n):
+        staged_dir = tempfile.mkdtemp(prefix="rex_staged_repro_")
+        p0 = probe()
+        t0 = time.perf_counter()
+        materialize_kg(
+            spark, docs, kb, lex, staged_dir, link_entities=True, apply_constraints=True
+        ).count()
+        cold = time.perf_counter() - t0
+        walls = {}
+        for st in ("candidates", "labeled", "triples", "constrained", "canonical"):
+            m = read_manifest(os.path.join(staged_dir, st))
+            if m:
+                walls[st] = m.get("wall_ms")
+        for st in ("constrained", "canonical"):
+            shutil.rmtree(os.path.join(staged_dir, st), ignore_errors=True)
+        t0 = time.perf_counter()
+        materialize_kg(
+            spark, docs, kb, lex, staged_dir, link_entities=True, apply_constraints=True
+        ).count()
+        resume = time.perf_counter() - t0
+        shutil.rmtree(staged_dir, ignore_errors=True)
+        p1 = probe()
+        print(
+            f"attempt {i}: cold={cold:.2f} resume={resume:.2f} "
+            f"probe={p0:.2f}/{p1:.2f} walls={walls}",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()
