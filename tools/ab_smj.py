@@ -1,0 +1,55 @@
+"""Same-process A/B of spark.sql.join.preferSortMergeJoin for the
+constraint_filter bench entry (and optionally other callables), timing
+constraint_pass over a pre-materialized candidate frame exactly like
+bench.py does. Alternates the conf per rep to cancel window drift."""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    reps = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+
+    import __spark_entry__ as entry
+    from rex_spark.session import get_spark
+
+    spark = get_spark(
+        "ab-smj", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 32)
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    cand, type_map, ckb = entry._constraint_inputs(spark, sf_dir)
+    cand = cand.localCheckpoint()
+    # warm both plans once
+    for v in ("true", "false"):
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+        entry.constraint_pass(cand, type_map, ckb).count()
+
+    walls: dict[str, list[float]] = {"true": [], "false": []}
+    for _ in range(reps):
+        for v in ("true", "false"):
+            spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+            t0 = time.perf_counter()
+            entry.constraint_pass(cand, type_map, ckb).count()
+            walls[v].append(round(time.perf_counter() - t0, 3))
+    for v in ("true", "false"):
+        print(f"preferSortMergeJoin={v}: walls={walls[v]} min={min(walls[v]):.3f}")
+
+    for v in ("true", "false"):
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", v)
+        plan = entry.constraint_pass(cand, type_map, ckb)._jdf.queryExecution().executedPlan().toString()
+        joins = [ln.strip()[:110] for ln in plan.splitlines() if "Join" in ln or "Sort " in ln]
+        print(f"--- joins/sorts with preferSortMergeJoin={v}:")
+        for j in joins[:12]:
+            print("   ", j)
+
+
+if __name__ == "__main__":
+    main()

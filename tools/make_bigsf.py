@@ -1,0 +1,120 @@
+"""Synthesize an approximate sf1.0-scale dataset from sf0.1 for LOCAL
+A/B measurement only (the driver's real sf1.0 is generated on its side;
+this replica matches row counts, schemas, empirical distributions and
+row-group layout closely enough for relative comparisons). Writes to
+/root/bigsf/sf1.0-approx. Deterministic (numpy PCG seed 42)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = sys.argv[1] if len(sys.argv) > 1 else "/root/bigsf/sf1.0-approx"
+FACTOR = 10
+
+
+def scale_documents() -> None:
+    t = pq.read_table(f"{SRC}/documents.parquet")
+    df = t.to_pandas()
+    rng = np.random.default_rng(42)
+    # empirical unigram distribution and doc-length (in words) distribution
+    all_words: list[str] = []
+    lengths: list[int] = []
+    for s in df.text:
+        ws = s.split(" ")
+        lengths.append(len(ws))
+        all_words.extend(ws)
+    vocab, counts = np.unique(np.array(all_words), return_counts=True)
+    p = counts / counts.sum()
+    lengths_arr = np.array(lengths)
+    n = len(df) * FACTOR
+    out_len = rng.choice(lengths_arr, size=n, replace=True)
+    total_words = int(out_len.sum())
+    words = rng.choice(vocab, size=total_words, p=p)
+    texts = []
+    pos = 0
+    for L in out_len:
+        texts.append(" ".join(words[pos : pos + L]))
+        pos += L
+    langs = rng.choice(
+        df.lang.unique(), size=n, p=df.lang.value_counts(normalize=True)[df.lang.unique()].values
+    )
+    n_sources = df.source.nunique()
+    sources = np.array([f"src{i % n_sources}" for i in range(n)])
+    out = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "text": pa.array(texts),
+            "lang": pa.array(langs),
+            "source": pa.array(sources),
+            "n_chars": pa.array(np.array([len(t) for t in texts], dtype=np.int64)),
+        }
+    )
+    pq.write_table(out, f"{DST}/documents.parquet", row_group_size=len(out), compression="snappy")
+    print("documents:", len(out), "rows")
+
+
+KEY_SHIFTS = {
+    # column -> table whose max defines the shift stride
+    "l_orderkey": "orders:o_orderkey",
+    "l_partkey": "part:p_partkey",
+    "l_suppkey": "supplier:s_suppkey",
+    "o_orderkey": "orders:o_orderkey",
+    "o_custkey": "customer:c_custkey",
+    "c_custkey": "customer:c_custkey",
+    "p_partkey": "part:p_partkey",
+    "s_suppkey": "supplier:s_suppkey",
+    "event_id": "events:event_id",
+    "vec_id": "embeddings:vec_id",
+}
+
+
+def scale_table(name: str, id_cols: dict[str, int]) -> None:
+    t = pq.read_table(f"{SRC}/{name}.parquet")
+    chunks = []
+    for i in range(FACTOR):
+        cols = {}
+        for col in t.column_names:
+            arr = t.column(col)
+            if col in id_cols and i > 0:
+                cols[col] = pa.array(arr.to_numpy() + i * id_cols[col])
+            else:
+                cols[col] = arr
+        chunks.append(pa.table(cols))
+    out = pa.concat_tables(chunks)
+    pq.write_table(
+        out, f"{DST}/{name}.parquet", row_group_size=1_048_576, compression="snappy"
+    )
+    print(name + ":", len(out), "rows")
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    strides = {}
+    for spec in set(KEY_SHIFTS.values()):
+        tbl, col = spec.split(":")
+        strides[spec] = int(
+            pq.read_table(f"{SRC}/{tbl}.parquet", columns=[col]).column(col).to_numpy().max()
+        ) + 1
+    scale_documents()
+    for name in ("lineitem", "orders", "customer", "part", "supplier", "events", "embeddings"):
+        id_cols = {
+            c: strides[s]
+            for c, s in KEY_SHIFTS.items()
+            if c in pq.read_schema(f"{SRC}/{name}.parquet").names
+        }
+        scale_table(name, id_cols)
+    for name in ("nation", "region"):
+        t = pq.read_table(f"{SRC}/{name}.parquet")
+        pq.write_table(t, f"{DST}/{name}.parquet", compression="snappy")
+        print(name + ":", len(t), "rows (copied)")
+    open(f"{DST}/_DONE", "w").close()
+
+
+if __name__ == "__main__":
+    main()
