@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 
 from ..operators.distant import NO_RELATION, distant_label
 from ..operators.linking import canonical_mention_map, canonicalize_triples
-from ..sources.catalog import resume_or_run, write_stage
+from ..sources.catalog import StageFinalizer, resume_or_run, write_stage
 from .pipeline import PipelineConfig, candidates
 
 
@@ -87,6 +87,15 @@ def materialize_kg(
     echo = _config_echo(conf)
     echo["label_features"] = label_features
 
+    # Stage finalize passes (checksum agg + manifest write) run on
+    # driver threads and OVERLAP the next stage's build (r6, guide
+    # §2.6) — their tasks back-fill the downstream stages' idle tails
+    # exactly like the content check below. The finalizer is joined
+    # (failures re-raised) before every return, and a manifest only
+    # lands once its checksum pass completed, so a kill mid-overlap
+    # leaves that stage incomplete -> rebuilt on resume.
+    finalizer = StageFinalizer()
+
     cand_path = os.path.join(out_dir, "candidates")
     cands = resume_or_run(
         spark,
@@ -94,6 +103,7 @@ def materialize_kg(
         "candidates",
         lambda: candidates(docs, lexicon, conf),
         config_echo=echo,
+        finalizer=finalizer,
     )
 
     lab_path = os.path.join(out_dir, "labeled")
@@ -104,7 +114,9 @@ def materialize_kg(
             lab = lab.drop("f_idx", "f_val")
         return lab
 
-    labeled = resume_or_run(spark, lab_path, "labeled", build_labeled, config_echo=echo)
+    labeled = resume_or_run(
+        spark, lab_path, "labeled", build_labeled, config_echo=echo, finalizer=finalizer
+    )
 
     trip_path = os.path.join(out_dir, "triples")
 
@@ -122,7 +134,13 @@ def materialize_kg(
         )
 
     triples = resume_or_run(
-        spark, trip_path, "triples", build_triples, partition_by=["pred"], config_echo=echo
+        spark,
+        trip_path,
+        "triples",
+        build_triples,
+        partition_by=["pred"],
+        config_echo=echo,
+        finalizer=finalizer,
     )
 
     # Content verification OVERLAPS the downstream stage builds (r6,
@@ -173,8 +191,9 @@ def materialize_kg(
     def _join_verify() -> None:
         if verify_thread is not None:
             verify_thread.join()
-            if verify_err:
-                raise verify_err[0]
+        finalizer.join()  # re-raises a failed stage finalize
+        if verify_err:
+            raise verify_err[0]
 
     if apply_constraints:
         from ..operators.constraints import constrain_triples
@@ -199,6 +218,7 @@ def materialize_kg(
             build_constrained,
             partition_by=["pred"],
             config_echo=echo,
+            finalizer=finalizer,
         )
 
     if not link_entities:
@@ -217,7 +237,13 @@ def materialize_kg(
         return canonicalize_triples(triples, mm)
 
     out = resume_or_run(
-        spark, canon_path, "canonical", build_canonical, partition_by=["pred"], config_echo=echo
+        spark,
+        canon_path,
+        "canonical",
+        build_canonical,
+        partition_by=["pred"],
+        config_echo=echo,
+        finalizer=finalizer,
     )
     _join_verify()
     return out

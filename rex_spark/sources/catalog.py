@@ -125,15 +125,59 @@ def table_checksum(df: DataFrame) -> int:
     return int(total or 0)
 
 
+class StageFinalizer:
+    """Driver-thread pool for write_stage's post-write finalize pass
+    (the lineage + row-count + checksum agg and the manifest write), so
+    the NEXT stage's build can overlap it (guide §2.6 — the same
+    back-fill contract as materialize_kg's content-equality thread).
+    Safety: until a stage's finalize completes, its manifest is absent,
+    so a kill mid-overlap leaves that stage INCOMPLETE and a resume
+    rebuilds it — strictly the safe direction (never a manifest whose
+    checksum was not actually computed). ``join()`` re-raises the first
+    finalize failure, and every caller must join before returning a
+    result to its caller."""
+
+    def __init__(self, max_workers: int = 2) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._ex = ThreadPoolExecutor(
+            max_workers=max_workers, thread_name_prefix="rex-stage-finalize"
+        )
+        self._futures: list = []
+
+    def submit(self, fn, *args):
+        try:  # inherit the caller's job group/description (thread-local)
+            from pyspark import inheritable_thread_target
+
+            fn = inheritable_thread_target(fn)
+        except Exception:
+            pass
+        fut = self._ex.submit(fn, *args)
+        self._futures.append(fut)
+        return fut
+
+    def join(self) -> None:
+        self._ex.shutdown(wait=True)
+        futures, self._futures = self._futures, []
+        for f in futures:
+            f.result()  # re-raises the finalize failure, first one wins
+
+
 def write_stage(
     df: DataFrame,
     path: str,
     stage: str,
     partition_by: list[str] | None = None,
     config_echo: dict | None = None,
+    finalizer: "StageFinalizer | None" = None,
 ) -> dict:
     """Write a stage table + manifest + per-partition lineage rows.
-    Returns the manifest dict."""
+    Returns the manifest dict. With a ``finalizer``, the post-write
+    finalize pass (checksum agg + manifest) is submitted to it instead
+    of running inline — the returned dict is then a stub with
+    ``complete: False`` and the real manifest lands on disk when the
+    finalizer runs; callers must ``finalizer.join()`` before treating
+    the stage as durable."""
     t0 = time.perf_counter()
     spark = df.sparkSession
     cat = _iceberg_catalog(spark)
@@ -155,7 +199,22 @@ def write_stage(
         w.parquet(path)
         back = spark.read.parquet(path)
     wall_ms = int((time.perf_counter() - t0) * 1000)
+    if finalizer is not None:
+        finalizer.submit(
+            _finalize_stage, back, path, stage, partition_by, config_echo, wall_ms
+        )
+        return {"stage": stage, "wall_ms": wall_ms, "complete": False}
+    return _finalize_stage(back, path, stage, partition_by, config_echo, wall_ms)
 
+
+def _finalize_stage(
+    back: DataFrame,
+    path: str,
+    stage: str,
+    partition_by: list[str] | None,
+    config_echo: dict | None,
+    wall_ms: int,
+) -> dict:
     # lineage + row count + checksum in ONE pass over the written table:
     # per-partition (count, hash-sum) rows collect to the driver and the
     # totals are derived there. The previous three separate actions
@@ -231,6 +290,7 @@ def resume_or_run(
     partition_by: list[str] | None = None,
     config_echo: dict | None = None,
     verify_checksum: bool = False,
+    finalizer: "StageFinalizer | None" = None,
 ) -> DataFrame:
     """If the stage checkpoint is complete (and config matches), read it
     back; otherwise run ``build()`` and materialize. Idempotent.
@@ -243,5 +303,5 @@ def resume_or_run(
         )["checksum"]:
             return df
     df = build()
-    write_stage(df, path, stage, partition_by, config_echo)
+    write_stage(df, path, stage, partition_by, config_echo, finalizer=finalizer)
     return _read_stage(spark, path, stage)

@@ -1,0 +1,83 @@
+"""Deferred stage finalize (r6): write_stage's checksum/manifest pass
+can run on a StageFinalizer thread so the next stage's build overlaps
+it. Pins (1) manifest identity with the synchronous path, (2) the
+kill-safety direction — no manifest until the finalize completes, so an
+interrupted run rebuilds the stage, and (3) failure propagation through
+``join()``."""
+
+import os
+
+import pytest
+
+from rex_spark.sources.catalog import (
+    StageFinalizer,
+    read_manifest,
+    stage_is_complete,
+    write_stage,
+)
+
+
+def _df(spark):
+    return spark.createDataFrame(
+        [(i, f"w{i % 7}", [i, i * 2]) for i in range(500)], "id long, w string, xs array<long>"
+    )
+
+
+def test_deferred_manifest_identical_to_sync(spark, tmp_path):
+    df = _df(spark)
+    sync_dir, defer_dir = str(tmp_path / "sync"), str(tmp_path / "defer")
+    m_sync = write_stage(df, sync_dir, "t", config_echo={"v": 1})
+
+    fin = StageFinalizer()
+    stub = write_stage(df, defer_dir, "t", config_echo={"v": 1}, finalizer=fin)
+    assert stub["complete"] is False  # stub, not a durable manifest
+    fin.join()
+    m_defer = read_manifest(defer_dir)
+    assert m_defer["complete"] is True
+    for key in ("stage", "row_count", "checksum", "n_partitions", "lineage", "config"):
+        assert m_defer[key] == m_sync[key], key
+
+
+def test_no_manifest_until_finalize_runs(spark, tmp_path):
+    """A kill between the write and the finalize must leave the stage
+    INCOMPLETE (absent manifest) so resume rebuilds it — simulated by
+    never running the submitted finalize."""
+    df = _df(spark)
+    d = str(tmp_path / "killed")
+
+    class NeverRuns:
+        def submit(self, fn, *args):
+            pass  # the process died before the finalize thread ran
+
+    write_stage(df, d, "t", finalizer=NeverRuns())
+    assert read_manifest(d) is None
+    assert not stage_is_complete(d, None)
+
+
+def test_finalize_failure_propagates(spark):
+    fin = StageFinalizer()
+
+    def boom():
+        raise RuntimeError("finalize failed")
+
+    fin.submit(boom)
+    with pytest.raises(RuntimeError, match="finalize failed"):
+        fin.join()
+    # a joined (shut-down) finalizer does not re-raise twice
+    fin.join()
+
+
+def test_materialize_kg_manifests_complete_after_return(spark, tmp_path):
+    """materialize_kg joins the finalizer before returning: every stage
+    manifest must be durable (complete, checksummed) at return time."""
+    from rex_spark.plans.materialize import materialize_kg
+    from rex_spark.sources.corpus import CorpusConfig, corpus_df, kb_df, make_lexicon
+
+    conf = CorpusConfig(n_docs=40, n_entities=20, n_kb=30, n_repos=4, seed=13)
+    docs = corpus_df(spark, conf, partitions=4)
+    out = str(tmp_path / "kg")
+    materialize_kg(spark, docs, kb_df(spark, conf), make_lexicon(conf), out,
+                   link_entities=False)
+    for stage in ("candidates", "labeled", "triples"):
+        m = read_manifest(os.path.join(out, stage))
+        assert m and m["complete"] and m["row_count"] > 0 and "checksum" in m
