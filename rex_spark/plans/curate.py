@@ -39,7 +39,7 @@ from ..operators.curation import (
 )
 from ..operators.dedup import exact_dedup, minhash_dedup_pairs
 from ..operators.textstats import detect_language, quality_cols, token_count_cols
-from ..sources.catalog import resume_or_run
+from ..sources.catalog import StageFinalizer, resume_or_run
 
 
 def curate_corpus(
@@ -93,6 +93,10 @@ def curate_corpus(
         "decontaminate": benchmark is not None,
         "decontaminate_n": decontaminate_n,
     }
+    # Stage finalize passes overlap the next stage's build, joined
+    # before every return (r6, guide §2.6 — same contract and the same
+    # kill-safety direction as materialize_kg; see StageFinalizer).
+    finalizer = StageFinalizer()
     if scrub_secrets:
         docs = redact_secrets(docs, text_col=text_col)
 
@@ -111,7 +115,7 @@ def curate_corpus(
 
         docs = resume_or_run(
             spark, os.path.join(out_dir, "stripped"), "stripped", build_stripped,
-            config_echo=echo,
+            config_echo=echo, finalizer=finalizer,
         )
 
     stats = resume_or_run(
@@ -125,6 +129,7 @@ def curate_corpus(
             text_col=text_col,
         ).drop(text_col),
         config_echo=echo,
+        finalizer=finalizer,
     )
 
     dedup = resume_or_run(
@@ -133,6 +138,7 @@ def curate_corpus(
         "dedup",
         lambda: exact_dedup(docs, text_col=text_col, id_col=id_col),
         config_echo=echo,
+        finalizer=finalizer,
     )
 
     def _exact_kept() -> DataFrame:
@@ -175,7 +181,7 @@ def curate_corpus(
 
     neardup = resume_or_run(
         spark, os.path.join(out_dir, "neardup"), "neardup", build_neardup,
-        config_echo=echo,
+        config_echo=echo, finalizer=finalizer,
     )
 
     def build_curated() -> DataFrame:
@@ -217,9 +223,10 @@ def curate_corpus(
 
     curated = resume_or_run(
         spark, os.path.join(out_dir, "curated"), "curated", build_curated,
-        config_echo=echo,
+        config_echo=echo, finalizer=finalizer,
     )
     if benchmark is None:
+        finalizer.join()  # re-raises a failed stage finalize
         return curated
 
     def build_decon() -> DataFrame:
@@ -232,7 +239,9 @@ def curate_corpus(
         # exact-dup keeper join above
         return curated.join(hits.select(id_col).distinct(), id_col, "left_anti")
 
-    return resume_or_run(
+    out = resume_or_run(
         spark, os.path.join(out_dir, "decon"), "decon", build_decon,
-        config_echo=echo,
+        config_echo=echo, finalizer=finalizer,
     )
+    finalizer.join()  # re-raises a failed stage finalize
+    return out
