@@ -273,7 +273,31 @@ def triangles(
         ),
         checkpoint_dir,
     )
-    x, y = o.alias("x"), o.alias("y")
+    # Join strategy for the closure (r6, guide §3.1): the wedge table is
+    # the BIG side — O(m^1.5) rows — while the oriented edge set is m
+    # rows, so when the edges fit a bounded broadcast the whole listing
+    # after `o` runs exchange-free (wedges stream map-side through both
+    # joins). The planner cannot see this itself: `o` is a
+    # localCheckpoint read-back whose plan stats are lineage estimates
+    # (the same LogicalRDD blindness fixed in partitions.py this round),
+    # so it picked a SortMergeJoin that exchanged AND sorted every wedge
+    # against a 46k-row edge set. The size is MEASURED from the
+    # materialized table (one tiny agg — cheap next to the join it
+    # guards); above the cap the shuffle semi-join remains, so the
+    # 10^9-edge shape is unchanged.
+    try:
+        _row = o.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.length(F.col("lo").cast("string"))
+                + F.length(F.col("hi").cast("string"))
+            ).alias("s"),
+        ).first()
+        _edge_bytes = int(_row["s"] or 0) + int(_row["n"]) * 48
+    except Exception:  # non-JVM-backed plan: keep the shuffle join
+        _edge_bytes = None
+    _bcast = _edge_bytes is not None and _edge_bytes <= 256 << 20
+    x, y = o.alias("x"), (F.broadcast(o) if _bcast else o).alias("y")
     # out-neighbor pairs ordered by the SAME (degree, name) key that
     # oriented the edges, so the closing edge {v, w} is oriented
     # exactly lo=v -> hi=w and the semi-join matches each triangle once
@@ -283,11 +307,10 @@ def triangles(
     wedges = x.join(y, (F.col("x.lo") == F.col("y.lo")) & wedge_order).select(
         F.col("x.lo").alias("u"), F.col("x.hi").alias("v"), F.col("y.hi").alias("w")
     )
-    closed = wedges.join(
-        o.select(F.col("lo").alias("v"), F.col("hi").alias("w")),
-        ["v", "w"],
-        "left_semi",
-    )
+    closing = o.select(F.col("lo").alias("v"), F.col("hi").alias("w"))
+    if _bcast:
+        closing = F.broadcast(closing)
+    closed = wedges.join(closing, ["v", "w"], "left_semi")
     t = F.array_sort(F.array("u", "v", "w"))
     return closed.select(
         t[0].alias("n1"), t[1].alias("n2"), t[2].alias("n3")
