@@ -130,17 +130,36 @@ def training_data_from_gold(
         )
     )
     out_cols = [f.name for f in _GOLD_SCHEMA.fields]
+    # Join strategies (r6, guide §3.1): BOTH inputs are localCheckpoint
+    # read-backs whose plan stats are lineage estimates, so the planner
+    # got both joins exactly backwards — it SHUFFLED the wide featurized
+    # candidate table (feature arrays and all) to attach a few thousand
+    # gold labels, and BROADCAST the corpus-scale candidate key set into
+    # the leftover anti-join (an OOM at 100 TB). Row counts are measured
+    # from the materialized tables (cheap — checkpoint block counts) and
+    # each join keeps its shuffle fallback above the cap.
+    try:
+        _n_gold, _n_cands = gold.count(), cands.count()
+    except Exception:  # non-JVM-backed plan: leave strategies alone
+        _n_gold = _n_cands = None
     # ONE left join labels everything: matched candidates take the gold
     # relation (duplicate gold labels fan out, matching the multi-label
     # positive semantics), unmatched become no_relation negatives
     labels = gold.select(*_KEY, F.col("label").alias("_gold_label"))
+    if _n_gold is not None and _n_gold <= 2_000_000:
+        labels = F.broadcast(labels)  # wide cands never shuffle
     labeled_cands = (
         cands.drop("label")
         .join(labels, _KEY, "left")
         .withColumn("label", F.coalesce("_gold_label", F.lit(NO_RELATION)))
         .select(*out_cols)
     )
-    leftover_gold = gold.join(cands.select(*_KEY).distinct(), _KEY, "left_anti")
+    cand_keys = cands.select(*_KEY).distinct()
+    if _n_cands is not None and _n_cands > 10_000_000:
+        # forbid the planner from broadcasting a corpus-scale build side:
+        # a shuffled anti join moves only the narrow key projection
+        cand_keys = cand_keys.hint("shuffle_hash")
+    leftover_gold = gold.join(cand_keys, _KEY, "left_anti")
     pos_out_of_space = _featurize_gold(sents, leftover_gold, conf)
     return labeled_cands.unionByName(pos_out_of_space)
 
