@@ -138,4 +138,24 @@ def constrain_triples(
     winners = apply_functional_constraint(edges, functional_relations(kb)).select(
         "subj", "pred", "obj"
     )
+    # Semi-join build side (r6, guide §3.1): winners is EDGE-level
+    # (distinct surviving (s,p,o)) while kept is per-OCCURRENCE — the
+    # big side. The planner sees only lineage estimates here (kept is a
+    # checkpoint read-back) and sort-merge-joined them, exchanging AND
+    # sorting every occurrence row. Winners is materialized (its
+    # aggregate+window run exactly once either way, and the checkpoint
+    # is edge-scale), measured, and broadcast under a byte cap so the
+    # occurrence rows stream map-side; above the cap — billions of
+    # distinct edges — the shuffle semi-join stays.
+    winners = materialize(winners, checkpoint_dir)
+    try:
+        _row = winners.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.length(F.concat_ws("", "subj", "pred", "obj"))).alias("s"),
+        ).first()
+        _w_bytes = int(_row["s"] or 0) + int(_row["n"]) * 48
+    except Exception:
+        _w_bytes = None
+    if _w_bytes is not None and _w_bytes <= 256 << 20:
+        winners = F.broadcast(winners)
     return kept.join(winners, ["subj", "pred", "obj"], "left_semi")
