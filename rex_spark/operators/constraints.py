@@ -91,6 +91,11 @@ def apply_functional_constraint(
     return triples.where(~F.col("pred").isin(functional_rels)).unionByName(func)
 
 
+# Measured-size cap for the winner semi-join broadcast (r6) —
+# module-level so tests can force the above-cap shuffle path.
+WINNERS_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def constrain_triples(
     triples: DataFrame,
     kb: DataFrame,
@@ -156,6 +161,6 @@ def constrain_triples(
         _w_bytes = int(_row["s"] or 0) + int(_row["n"]) * 48
     except Exception:
         _w_bytes = None
-    if _w_bytes is not None and _w_bytes <= 256 << 20:
+    if _w_bytes is not None and _w_bytes <= WINNERS_BROADCAST_MAX_BYTES:
         winners = F.broadcast(winners)
     return kept.join(winners, ["subj", "pred", "obj"], "left_semi")

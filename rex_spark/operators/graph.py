@@ -204,6 +204,11 @@ def khop_counts(
     return counted.agg(F.countDistinct("r").alias("n_reach"))
 
 
+# Measured-size cap for the closure-join broadcast (r6) — module-level
+# so tests can force the above-cap shuffle path.
+EDGES_BROADCAST_MAX_BYTES = 256 << 20
+
+
 def triangles(
     edges: DataFrame,
     src_col: str = "src",
@@ -296,7 +301,7 @@ def triangles(
         _edge_bytes = int(_row["s"] or 0) + int(_row["n"]) * 48
     except Exception:  # non-JVM-backed plan: keep the shuffle join
         _edge_bytes = None
-    _bcast = _edge_bytes is not None and _edge_bytes <= 256 << 20
+    _bcast = _edge_bytes is not None and _edge_bytes <= EDGES_BROADCAST_MAX_BYTES
     x, y = o.alias("x"), (F.broadcast(o) if _bcast else o).alias("y")
     # out-neighbor pairs ordered by the SAME (degree, name) key that
     # oriented the edges, so the closing edge {v, w} is oriented

@@ -97,6 +97,12 @@ def _featurize_gold(sents: DataFrame, gold: DataFrame, conf: CandidateConfig) ->
     return joined.mapInPandas(fn, _GOLD_SCHEMA)
 
 
+# Measured-size caps for the label-join strategies (r6) — module-level
+# so tests can force the above-cap scale paths on small corpora.
+GOLD_BROADCAST_MAX_ROWS = 2_000_000
+CAND_KEYS_BROADCAST_MAX_ROWS = 10_000_000
+
+
 def training_data_from_gold(
     sentences: DataFrame,
     gold: DataFrame,
@@ -146,7 +152,7 @@ def training_data_from_gold(
     # relation (duplicate gold labels fan out, matching the multi-label
     # positive semantics), unmatched become no_relation negatives
     labels = gold.select(*_KEY, F.col("label").alias("_gold_label"))
-    if _n_gold is not None and _n_gold <= 2_000_000:
+    if _n_gold is not None and _n_gold <= GOLD_BROADCAST_MAX_ROWS:
         labels = F.broadcast(labels)  # wide cands never shuffle
     labeled_cands = (
         cands.drop("label")
@@ -155,7 +161,7 @@ def training_data_from_gold(
         .select(*out_cols)
     )
     cand_keys = cands.select(*_KEY).distinct()
-    if _n_cands is not None and _n_cands > 10_000_000:
+    if _n_cands is not None and _n_cands > CAND_KEYS_BROADCAST_MAX_ROWS:
         # forbid the planner from broadcasting a corpus-scale build side:
         # a shuffled anti join moves only the narrow key projection
         cand_keys = cand_keys.hint("shuffle_hash")

@@ -1,0 +1,76 @@
+"""The r6 measured-size broadcast guards each carry an above-cap scale
+path (shuffle join / shuffle_hash hint) that small corpora never hit —
+these tests force it by patching the module-level caps to zero and pin
+output identity with the default (broadcast) path, the same discipline
+as the driver-threshold paths elsewhere (driver_threshold=0 tests)."""
+
+import pytest
+
+from rex_spark.operators.candidates import CandidateConfig
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_traindata_scale_paths_match_default(spark, monkeypatch):
+    import rex_spark.operators.traindata as td
+
+    sents = spark.createDataFrame(
+        [
+            ("s1", 0, ["Alice", "founded", "Acme", "."],
+             ["ID", "KW", "ID", "PUNCT"], ["PER", "O", "ORG", "O"]),
+            ("s2", 0, ["Bob", "visited", "Rome", "."],
+             ["ID", "KW", "ID", "PUNCT"], ["PER", "O", "LOC", "O"]),
+        ],
+        "doc_id string, sent_idx int, tokens array<string>, "
+        "tags array<string>, entities array<string>",
+    )
+    gold = spark.createDataFrame(
+        [("s1", 0, 0, 2, "founder_of")],
+        "doc_id string, sent_idx int, q_idx int, a_idx int, label string",
+    )
+    conf = CandidateConfig(candidate_filter="ids")
+    base = _rows(td.training_data_from_gold(sents, gold, conf))
+    assert base  # non-trivial fixture
+
+    # force the no-broadcast labels join AND the shuffle_hash anti-join
+    monkeypatch.setattr(td, "GOLD_BROADCAST_MAX_ROWS", -1)
+    monkeypatch.setattr(td, "CAND_KEYS_BROADCAST_MAX_ROWS", -1)
+    assert _rows(td.training_data_from_gold(sents, gold, conf)) == base
+
+
+def test_constrain_triples_scale_path_matches_default(spark, monkeypatch):
+    import rex_spark.operators.constraints as c
+
+    kb = spark.createDataFrame([("s", "o1", "p")], "subj string, obj string, rel string")
+    tm = spark.createDataFrame(
+        [("s", "T"), ("o1", "U"), ("o2", "U")], "entity string, etype string"
+    )
+    triples = spark.createDataFrame(
+        [("s", "p", "o1", "d1"), ("s", "p", "o1", "d2"), ("s", "p", "o2", "d3")],
+        "subj string, pred string, obj string, doc_id string",
+    )
+    base = _rows(c.constrain_triples(triples, kb, tm))
+    assert base == sorted([("s", "p", "o1", "d1"), ("s", "p", "o1", "d2")])
+
+    monkeypatch.setattr(c, "WINNERS_BROADCAST_MAX_BYTES", -1)
+    assert _rows(c.constrain_triples(triples, kb, tm)) == base
+
+
+def test_triangles_scale_path_matches_default(spark, monkeypatch):
+    import rex_spark.operators.graph as g
+
+    edges = [
+        ("a", "b"), ("b", "a"), ("a", "c"), ("a", "d"),
+        ("b", "c"), ("b", "d"), ("c", "d"), ("d", "d"),
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    base = _rows(g.triangles(e))
+    assert len(base) == 4  # K4
+
+    monkeypatch.setattr(g, "EDGES_BROADCAST_MAX_BYTES", -1)
+    assert _rows(g.triangles(e)) == base
+    # clustering_coefficient routes through the same machinery
+    lcc = {r["node"]: r["lcc"] for r in g.clustering_coefficient(e).collect()}
+    assert lcc == {"a": 1.0, "b": 1.0, "c": 1.0, "d": 1.0}
